@@ -1,0 +1,122 @@
+"""Semantic fusion pipeline — the ``TSDF::parse_frame`` equivalent.
+
+Orchestrates probe -> associate -> relabel -> fuse as ONE jitted device
+program per frame (the reference round-trips probs/box_mask to the host and
+back every frame, ``src/SfM_CUDA/tsdf.cu:457-470``; we keep everything
+device-resident, SURVEY §5.8).
+
+Control flow parity with ``parse_frame``/``launch_kernel``
+(``tsdf.cu:171-228, 418-488``):
+* frame 0: initialize the volume from the depth bounding rect only — no
+  fusion (the reference's recursive fuse call is commented out,
+  ``tsdf.cu:213``).
+* frame 1 (n_obs == 0): no association; num_objs = max(mask) + 1
+  (``tsdf.cu:463-468``); fuse.
+* frame 2+ (n_obs > 0): back-projection probe, Bayesian association,
+  relabel the mask to global ids, fuse.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_maskrcnn_tpu.fusion.associate import apply_relabel, associate_instances
+from slam_maskrcnn_tpu.fusion.fuse import fuse_frame
+from slam_maskrcnn_tpu.fusion.raycast import back_project_probe
+from slam_maskrcnn_tpu.fusion.state import (FusionConfig, TSDFState,
+                                            init_from_first_frame)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fusion_step(state: TSDFState, depth: jax.Array, color: jax.Array,
+                mask: jax.Array, extrinsic2init: jax.Array,
+                intrinsic: jax.Array, intrinsic_inv: jax.Array,
+                cfg: FusionConfig):
+    """One fused device step: (probe + associate + relabel) + fuse.
+
+    Returns (new_state, relabeled_mask).
+    """
+    H, W = depth.shape
+
+    def with_assoc(operand):
+        st, msk = operand
+        probs, bm = back_project_probe(st, extrinsic2init, intrinsic_inv,
+                                       H, W, cfg)
+        return associate_instances(probs, bm, msk, st.n_obs, st.num_objs, cfg)
+
+    def first_fuse(operand):
+        st, msk = operand
+        identity = jnp.arange(cfg.max_objects, dtype=jnp.int32)
+        return identity, jnp.max(msk).astype(jnp.int32) + 1
+
+    relabel, num_objs = jax.lax.cond(state.n_obs > 0, with_assoc, first_fuse,
+                                     (state, mask))
+    mask_g = apply_relabel(mask, relabel)
+    state = state.replace(num_objs=num_objs)
+    state = fuse_frame(state, depth, color, mask_g, extrinsic2init,
+                       intrinsic, cfg)
+    return state, mask_g
+
+
+class SemanticFusion:
+    """Host-side driver owning the functional state — the ergonomic
+    equivalent of the reference's ``TSDF`` class + ``kernel.cpp`` glue."""
+
+    def __init__(self, intrinsic: np.ndarray, cfg: FusionConfig | None = None):
+        self.cfg = cfg or FusionConfig()
+        self.intrinsic = np.asarray(intrinsic, np.float32)
+        if self.intrinsic.shape == (3, 3):
+            K = np.eye(4, dtype=np.float32)
+            K[:3, :3] = self.intrinsic
+            self.intrinsic = K
+        self.intrinsic_inv = np.linalg.inv(self.intrinsic).astype(np.float32)
+        self.state: TSDFState | None = None
+        self.init_extrinsic_inv: np.ndarray | None = None
+        self.mean_depth: float | None = None
+
+    def parse_frame(self, depth: np.ndarray, color: np.ndarray,
+                    mask: np.ndarray, extrinsic: np.ndarray,
+                    mean_depth: float | None = None):
+        """Feed one frame. Returns the relabeled (global-id) mask for frames
+        that fuse, else None (frame 0 only initializes, as the reference)."""
+        if mean_depth is None:
+            valid = depth > 0
+            mean_depth = float(
+                (depth[valid].astype(np.float64) / self.cfg.depth_scale).mean())
+        if self.state is None:
+            self.state = init_from_first_frame(self.cfg, np.asarray(depth),
+                                               self.intrinsic, mean_depth)
+            self.init_extrinsic_inv = np.linalg.inv(
+                np.asarray(extrinsic, np.float64)).astype(np.float32)
+            self.mean_depth = mean_depth
+            return None
+        e2i = (np.asarray(extrinsic, np.float32)
+               @ self.init_extrinsic_inv).astype(np.float32)
+        self.state, mask_g = fusion_step(
+            self.state, jnp.asarray(depth), jnp.asarray(color),
+            jnp.asarray(mask), jnp.asarray(e2i),
+            jnp.asarray(self.intrinsic), jnp.asarray(self.intrinsic_inv),
+            self.cfg)
+        return mask_g
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fuse_sequence(state: TSDFState, depths: jax.Array, colors: jax.Array,
+                  masks: jax.Array, extrinsics2init: jax.Array,
+                  intrinsic: jax.Array, intrinsic_inv: jax.Array,
+                  cfg: FusionConfig):
+    """Fuse a whole pre-staged frame stack with one ``lax.scan`` — the
+    throughput path (no per-frame dispatch overhead). Frames are [N, ...]
+    device arrays; returns (final_state, relabeled_masks [N, H, W])."""
+
+    def step(st, frame):
+        depth, color, mask, e2i = frame
+        st, mask_g = fusion_step(st, depth, color, mask, e2i,
+                                 intrinsic, intrinsic_inv, cfg)
+        return st, mask_g
+
+    return jax.lax.scan(step, state, (depths, colors, masks, extrinsics2init))

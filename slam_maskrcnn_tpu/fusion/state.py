@@ -1,0 +1,183 @@
+"""TSDF volume state — a functional pytree, the core data structure of stage 2.
+
+Re-designs the mutable CUDA ``TSDF`` class (reference:
+``src/SfM_CUDA/tsdf.cuh:7-67``, ``src/SfM_CUDA/tsdf.cu:137-280``) as an
+immutable JAX pytree so the fusion step is ``state' = fuse(state, frame)``,
+jit- and scan-able over frames and shardable over a device mesh.
+
+Semantics preserved from the reference (each is a deliberate parity choice):
+
+* The volume is axis-aligned in the *first camera's* frame; its bounding box
+  is derived from the first depth frame's nonzero-pixel bounding rectangle,
+  back-projected at the mean depth, with the half-side equal to half the
+  rect diagonal (``tsdf.cu:173-214``).
+* ``voxel = (vol_end - vol_start) / (dim - 1)`` and ``mu = 5 * voxel.x``
+  (``tsdf.cu:197-199``).
+* The SDF buffer is initialized to **+mu in metric units** while subsequent
+  updates store the **normalized** truncated diff in [-1, 1]
+  (``tsdf.cu:202-205`` vs ``tsdf.cu:49-56``). This mixed convention is a
+  reference quirk reproduced deliberately: weight starts at 0, so the first
+  valid observation fully overwrites the init value; only never-observed
+  voxels keep +mu.
+* Per-voxel instance histogram of width ``max_objects`` (= MAX_OBJECTS 32,
+  ``tsdf.cuh:4``) counting mask-id observations (``tsdf.cu:61``).
+* Color stored as uint8 with integer-truncating running average
+  (``tsdf.cu:59``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionConfig:
+    """Static fusion configuration.
+
+    Mirrors the reference's three config tiers (class ``Configuration`` at
+    ``src/SfM_CUDA/configuration.h:2-9`` plus compile-time constants at
+    ``src/SfM_CUDA/tsdf.cuh:4,52``) as one frozen dataclass.
+    """
+
+    vol_dim: tuple[int, int, int] = (256, 256, 256)
+    max_objects: int = 32  # MAX_OBJECTS, tsdf.cuh:4
+    # Bayesian association priors, configuration.h:8-9
+    prior_mrcnn_err_rate: float = 0.05
+    duplicate_thresh: float = 0.5
+    # mu multiplier: truncation band = mu_factor * voxel.x, tsdf.cu:199
+    mu_factor: float = 5.0
+    # TUM depth scale: raw uint16 / depth_scale = meters, tsdf.cu:49
+    depth_scale: float = 5000.0
+    # Gate on normalized diff below which color/histogram update, tsdf.cu:57
+    color_diff_gate: float = 0.99
+    # probs threshold for box_mask in the back-projection probe, tsdf.cu:128
+    box_mask_thresh: float = 0.3
+    # Histogram dtype: uint32 matches reference (tsdf.cu:249); uint16 halves
+    # HBM at 512^3 (see SURVEY §5.7). Counts are bounded by frames fused.
+    hist_dtype: jnp.dtype = jnp.uint32
+    # Ray march safety cap (reference marches until tfar; we bound the
+    # while_loop). diagonal/min-step with slack.
+    max_march_steps: int = 4096
+    # "majority-vote" single-id mode of the TSDF_Python prototype
+    # (src/TSDF_Python/tsdf.cu:48-57): Boyer-Moore count instead of the full
+    # histogram — 1/max_objects the memory. Optional compatibility mode.
+    majority_vote: bool = False
+
+    @property
+    def n_voxels(self) -> int:
+        dx, dy, dz = self.vol_dim
+        return dx * dy * dz
+
+
+class TSDFState(struct.PyTreeNode):
+    """The fused volume + association bookkeeping. A pytree of arrays.
+
+    Buffers correspond 1:1 to the reference's device arrays
+    (``tsdf.cuh:25-33``), reshaped [X, Y, Z(, C)] instead of flat — the
+    reference's flat index is ``dim.y*dim.z*x + dim.z*y + z``
+    (``tsdf.cu:55``), i.e. C-order [X, Y, Z].
+    """
+
+    diff: jax.Array      # f32 [X, Y, Z]    SDF (init +mu metric; updates normalized)
+    color: jax.Array     # u8  [X, Y, Z, 3] running-average color (BGR as loaded)
+    weight: jax.Array    # i32 [X, Y, Z]    observation count per voxel
+    hist: jax.Array      # uint [X, Y, Z, K] instance-id observation histogram
+    vol_start: jax.Array  # f32 [3] AABB min corner (first-camera frame)
+    vol_end: jax.Array    # f32 [3] AABB max corner
+    voxel: jax.Array      # f32 [3] voxel pitch per axis
+    mu: jax.Array         # f32 [] truncation band (metric)
+    n_obs: jax.Array      # i32 [] frames fused so far (n_obs_, tsdf.cuh:50)
+    num_objs: jax.Array   # i32 [] global instance-id high-water mark (+1)
+    # majority-vote mode only (zeros-shaped (1,1,1) placeholders otherwise):
+    mv_id: jax.Array      # i32 [X, Y, Z] current majority instance id
+    mv_cnt: jax.Array     # i32 [X, Y, Z] Boyer-Moore counter
+
+
+def init_state(cfg: FusionConfig, vol_start, vol_end, num_objs=0) -> TSDFState:
+    """Allocate an empty volume over the AABB [vol_start, vol_end].
+
+    Mirrors ``TSDF::init_cuda_vars`` + the host-side init
+    (``tsdf.cu:197-214, 230-253``).
+    """
+    dim = cfg.vol_dim
+    vol_start = jnp.asarray(vol_start, jnp.float32)
+    vol_end = jnp.asarray(vol_end, jnp.float32)
+    voxel = (vol_end - vol_start) / (jnp.asarray(dim, jnp.float32) - 1.0)
+    mu = cfg.mu_factor * voxel[0]
+    if cfg.majority_vote:
+        hist = jnp.zeros((1, 1, 1, 1), cfg.hist_dtype)
+        mv_id = jnp.zeros(dim, jnp.int32)
+        mv_cnt = jnp.zeros(dim, jnp.int32)
+    else:
+        hist = jnp.zeros(dim + (cfg.max_objects,), cfg.hist_dtype)
+        mv_id = jnp.zeros((1, 1, 1), jnp.int32)
+        mv_cnt = jnp.zeros((1, 1, 1), jnp.int32)
+    return TSDFState(
+        diff=jnp.full(dim, mu, jnp.float32),
+        color=jnp.zeros(dim + (3,), jnp.uint8),
+        weight=jnp.zeros(dim, jnp.int32),
+        hist=hist,
+        vol_start=vol_start,
+        vol_end=vol_end,
+        voxel=voxel,
+        mu=mu,
+        n_obs=jnp.zeros((), jnp.int32),
+        num_objs=jnp.asarray(num_objs, jnp.int32),
+        mv_id=mv_id,
+        mv_cnt=mv_cnt,
+    )
+
+
+def volume_bbox_from_depth(depth: np.ndarray, intrinsic: np.ndarray,
+                           mean_depth: float) -> tuple[np.ndarray, np.ndarray]:
+    """Volume AABB from the first frame's depth image.
+
+    Reference semantics (``tsdf.cu:177-196``): bounding rect of nonzero
+    depth pixels; back-project the rect's top-left and bottom-right corners
+    (exclusive br, as cv::Rect::br()) through K^-1 at ``mean_depth``; volume
+    is the cube centered at their midpoint with half-side = half the 2D
+    (x, y) diagonal of the back-projected corners. Note the corners are
+    scaled by the *metric* mean depth — the /5000 depth scaling happened in
+    ``mean_depth`` itself (``utils.cu:87``).
+
+    Host-side (runs once per sequence): numpy in, numpy out.
+    """
+    ys, xs = np.nonzero(depth)
+    if len(xs) == 0:
+        raise ValueError("first depth frame has no valid (nonzero) pixels")
+    # cv::boundingRect: tl inclusive, br exclusive
+    tlx, tly = float(xs.min()), float(ys.min())
+    brx, bry = float(xs.max() + 1), float(ys.max() + 1)
+    K_inv = np.linalg.inv(np.asarray(intrinsic, np.float64))
+    tl = K_inv[:3, :3] @ np.array([tlx, tly, 1.0]) * mean_depth
+    br = K_inv[:3, :3] @ np.array([brx, bry, 1.0]) * mean_depth
+    half_side = float(np.hypot(tl[0] - br[0], tl[1] - br[1]) / 2.0)
+    center = (tl + br) / 2.0
+    vol_start = (center - half_side).astype(np.float32)
+    vol_end = (center + half_side).astype(np.float32)
+    return vol_start, vol_end
+
+
+def init_from_first_frame(cfg: FusionConfig, depth: np.ndarray,
+                          intrinsic: np.ndarray, mean_depth: float,
+                          num_objs: int = 0) -> TSDFState:
+    """First-frame lazy init, = the ``!init_`` branch of ``parse_frame``
+    (``tsdf.cu:173-214``). The first frame only *initializes* — the
+    reference's recursive fuse call is commented out (``tsdf.cu:213``), so
+    fusion starts with the second frame. ``SemanticFusion`` preserves that.
+    """
+    vol_start, vol_end = volume_bbox_from_depth(depth, intrinsic, mean_depth)
+    return init_state(cfg, vol_start, vol_end, num_objs=num_objs)
+
+
+def make_intrinsic(fx: float, fy: float, cx: float, cy: float) -> np.ndarray:
+    """4x4 intrinsic matrix as the reference builds it (``tsdf.cu:137-147``)."""
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = fx, fy, cx, cy
+    return K
