@@ -1,0 +1,46 @@
+"""Proposal generation: top-k anchors -> deltas -> clip -> NMS -> pad.
+
+= ``ProposalLayer`` (``Mask_RCNN/mrcnn/model.py:261-338``) with TPU-static
+shapes: the reference's per-image ``batch_slice`` becomes ``jax.vmap``, and
+``tf.image.non_max_suppression``'s dynamic output becomes our fixed-size
+padded NMS (ops/nms.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from slam_maskrcnn_tpu.ops.boxes import apply_box_deltas, clip_boxes
+from slam_maskrcnn_tpu.ops.nms import non_max_suppression
+
+
+@partial(jax.jit, static_argnames=("proposal_count", "pre_nms_limit"))
+def generate_proposals(rpn_probs: jax.Array, rpn_bbox: jax.Array,
+                       anchors: jax.Array, proposal_count: int,
+                       nms_threshold: float = 0.7,
+                       pre_nms_limit: int = 6000,
+                       bbox_std: tuple = (0.1, 0.1, 0.2, 0.2)):
+    """Batched proposal generation.
+
+    rpn_probs [B, A, 2], rpn_bbox [B, A, 4], anchors [A, 4] normalized.
+    Returns (proposals [B, proposal_count, 4] zero-padded, valid [B, count]).
+    """
+    std = jnp.asarray(bbox_std, jnp.float32)
+
+    def per_image(probs, deltas):
+        scores = probs[:, 1]
+        k = min(pre_nms_limit, anchors.shape[0])
+        top_scores, ix = jax.lax.top_k(scores, k)
+        top_deltas = deltas[ix] * std
+        top_anchors = anchors[ix]
+        boxes = apply_box_deltas(top_anchors, top_deltas)
+        boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0]))
+        idx, valid = non_max_suppression(boxes, top_scores, proposal_count,
+                                         nms_threshold)
+        props = jnp.where(valid[:, None], boxes[idx], 0.0)  # zero-pad
+        return props, valid
+
+    return jax.vmap(per_image)(rpn_probs, rpn_bbox)
