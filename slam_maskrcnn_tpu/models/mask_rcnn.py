@@ -119,6 +119,53 @@ class MaskRCNNModule(nn.Module):
                     masks=masks, proposals=proposals, rpn_probs=rpn_probs,
                     rpn_bbox=rpn_bbox)
 
+    def train_forward(self, images, anchors, rng, gt_class_ids, gt_boxes,
+                      gt_masks, train_rois: int = 200,
+                      positive_ratio: float = 0.33,
+                      train_bn: bool = False):
+        """Full training-mode forward (= the training branch of
+        ``MaskRCNN.build``, model.py:1957-2008): backbone -> RPN ->
+        proposals -> detection-target sampling -> heads.
+
+        Returns (outputs dict for losses, sampled targets dict).
+        """
+        from slam_maskrcnn_tpu.models.targets import detection_targets
+
+        B = images.shape[0]
+        pyramid = self.features(images, train_bn)
+        mrcnn_feats = pyramid[:4]
+        rpn_logits, rpn_probs, rpn_bbox = self.rpn_outputs(pyramid)
+        proposals, _ = generate_proposals(
+            rpn_probs, rpn_bbox, anchors, self.proposal_count,
+            self.rpn_nms_threshold, self.pre_nms_limit, self.rpn_bbox_std)
+        proposals = jax.lax.stop_gradient(proposals)
+
+        rngs = jax.random.split(rng, B)
+        sample = lambda k, p, ci, bx, mk: detection_targets(
+            k, p, ci, bx, mk, train_rois=train_rois,
+            positive_ratio=positive_ratio,
+            mask_size=self.mask_pool_size * 2, bbox_std=self.bbox_std)
+        rois, tgt_cls, tgt_bbox, tgt_mask, roi_valid = jax.vmap(sample)(
+            rngs, proposals, gt_class_ids, gt_boxes, gt_masks)
+        rois = jax.lax.stop_gradient(rois)
+
+        def per_image(feats, r):
+            pooled = pyramid_roi_align(feats, r, self.pool_size,
+                                       self.image_shape)
+            logits, probs, bbox = self.classifier(pooled, train_bn)
+            mpooled = pyramid_roi_align(feats, r, self.mask_pool_size,
+                                        self.image_shape)
+            masks = self.mask_head(mpooled, train_bn)
+            return logits, probs, bbox, masks
+
+        logits, probs, bbox, masks = jax.vmap(per_image)(mrcnn_feats, rois)
+        outputs = dict(rpn_class_logits=rpn_logits, rpn_probs=rpn_probs,
+                       rpn_bbox=rpn_bbox, mrcnn_class_logits=logits,
+                       mrcnn_probs=probs, mrcnn_bbox=bbox, mrcnn_masks=masks)
+        targets = dict(target_class_ids=tgt_cls, target_bbox=tgt_bbox,
+                       target_mask=tgt_mask, roi_valid=roi_valid, rois=rois)
+        return outputs, targets
+
     def training_heads(self, images, rois, train: bool = True):
         """Training-path heads on given (target-sampled) rois [B, T, 4]."""
         pyramid = self.features(images, train)

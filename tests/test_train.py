@@ -1,0 +1,91 @@
+"""Training tests: shapes dataset generation, data pipeline shapes, one
+train step reduces loss on a tiny config (the reference's train_shapes
+integration test, SURVEY §4.1)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from slam_maskrcnn_tpu.data.dataset import data_generator, load_image_gt
+from slam_maskrcnn_tpu.data.shapes import ShapesConfig, ShapesDataset
+from slam_maskrcnn_tpu.models import MaskRCNN
+from slam_maskrcnn_tpu.train import Trainer, LAYER_REGEX
+from slam_maskrcnn_tpu.train.trainer import trainable_mask
+
+
+class TrainConfig(ShapesConfig):
+    NAME = "shapes_train_test"
+    IMAGES_PER_GPU = 2
+    GPU_COUNT = 1
+    IMAGE_MIN_DIM = 128
+    IMAGE_MAX_DIM = 128
+    RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+    TRAIN_ROIS_PER_IMAGE = 16
+    POST_NMS_ROIS_TRAINING = 64
+    PRE_NMS_LIMIT = 256
+    MAX_GT_INSTANCES = 4
+    STEPS_PER_EPOCH = 2
+    COMPUTE_DTYPE = "float32"
+
+
+def test_shapes_dataset_loads():
+    ds = ShapesDataset()
+    ds.load_shapes(8, 128, 128, seed=1)
+    ds.prepare()
+    assert ds.num_images == 8
+    img = ds.load_image(0)
+    assert img.shape == (128, 128, 3)
+    masks, ids = ds.load_mask(0)
+    assert masks.shape[:2] == (128, 128)
+    assert masks.shape[2] == len(ids)
+    assert (ids >= 1).all() and (ids <= 3).all()
+
+
+def test_data_generator_batch_contract():
+    cfg = TrainConfig()
+    ds = ShapesDataset()
+    ds.load_shapes(6, 128, 128, seed=2)
+    ds.prepare()
+    gen = data_generator(ds, cfg, shuffle=True, seed=0)
+    batch = next(gen)
+    B = cfg.BATCH_SIZE
+    assert batch["images"].shape == (B, 128, 128, 3)
+    A = batch["rpn_match"].shape[1]
+    assert batch["rpn_bbox"].shape == (B, A, 4)
+    assert batch["gt_boxes"].shape == (B, cfg.MAX_GT_INSTANCES, 4)
+    assert batch["gt_masks"].shape[:2] == (B, cfg.MAX_GT_INSTANCES)
+    assert batch["gt_boxes"].max() <= 1.0
+    assert (batch["rpn_match"] == 1).sum() > 0
+
+
+def test_trainable_mask_heads_freezes_backbone():
+    cfg = TrainConfig()
+    model = MaskRCNN("training", cfg)
+    model.init_params(0)
+    mask = trainable_mask(model.params["params"], LAYER_REGEX["heads"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    frozen = [p for p, v in flat if v == 0.0]
+    live = [p for p, v in flat if v == 1.0]
+    assert frozen and live
+    frozen_names = {str(k.key) for p in frozen for k in p}
+    live_names = {str(k.key) for p in live for k in p}
+    assert any(n.startswith("res2") or n == "conv1" for n in frozen_names)
+    assert any(n.startswith("rpn") or n.startswith("mrcnn")
+               for n in live_names)
+
+
+@pytest.mark.slow
+def test_train_step_reduces_loss():
+    cfg = TrainConfig()
+    ds = ShapesDataset()
+    ds.load_shapes(6, 128, 128, seed=3)
+    ds.prepare()
+    model = MaskRCNN("training", cfg)
+    model.init_params(0)
+    trainer = Trainer(model, cfg)
+    hist = trainer.train(ds, learning_rate=0.002, epochs=2, layers="all",
+                         steps_per_epoch=3, verbose=0, checkpoint=False)
+    assert len(hist) == 2
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0] * 1.5  # finite and not exploding
