@@ -62,11 +62,50 @@ def fusion_step(state: TSDFState, depth: jax.Array, color: jax.Array,
     return state, mask_g
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def fusion_step_blocked(state, depth: jax.Array, color: jax.Array,
+                        mask: jax.Array, extrinsic2init: jax.Array,
+                        intrinsic: jax.Array, cfg: FusionConfig):
+    """Fast-path device step on the blocked state: Pallas fuse + splat
+    probe. Same control flow as fusion_step; the probe uses nearest-voxel
+    histogram counts (see fusion/splat.py) instead of trilinear samples.
+
+    Returns (new_state, relabeled_mask, rect_misses).
+    """
+    from slam_maskrcnn_tpu.fusion.splat import splat_probe
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import fuse_frame_blocked
+
+    H, W = depth.shape
+
+    def with_assoc(operand):
+        st, msk = operand
+        probs, bm = splat_probe(st, extrinsic2init, intrinsic, H, W, cfg)
+        return associate_instances(probs, bm, msk, st.n_obs, st.num_objs, cfg)
+
+    def first_fuse(operand):
+        st, msk = operand
+        identity = jnp.arange(cfg.max_objects, dtype=jnp.int32)
+        return identity, jnp.max(msk).astype(jnp.int32) + 1
+
+    relabel, num_objs = jax.lax.cond(state.n_obs > 0, with_assoc, first_fuse,
+                                     (state, mask))
+    mask_g = apply_relabel(mask, relabel)
+    state = state.replace(num_objs=num_objs)
+    state, misses = fuse_frame_blocked(state, depth, color, mask_g,
+                                       extrinsic2init, intrinsic, cfg)
+    return state, mask_g, misses
+
+
 class SemanticFusion:
     """Host-side driver owning the functional state — the ergonomic
     equivalent of the reference's ``TSDF`` class + ``kernel.cpp`` glue."""
 
-    def __init__(self, intrinsic: np.ndarray, cfg: FusionConfig | None = None):
+    def __init__(self, intrinsic: np.ndarray, cfg: FusionConfig | None = None,
+                 backend: str = "xla"):
+        """backend: "xla" (exact trilinear probe, dense state) or "pallas"
+        (blocked state, Pallas fuse kernel + splat probe — the fast path)."""
+        assert backend in ("xla", "pallas")
+        self.backend = backend
         self.cfg = cfg or FusionConfig()
         self.intrinsic = np.asarray(intrinsic, np.float32)
         if self.intrinsic.shape == (3, 3):
@@ -90,18 +129,35 @@ class SemanticFusion:
         if self.state is None:
             self.state = init_from_first_frame(self.cfg, np.asarray(depth),
                                                self.intrinsic, mean_depth)
+            if self.backend == "pallas":
+                from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import to_blocked
+                self.state = to_blocked(self.state, self.cfg)
             self.init_extrinsic_inv = np.linalg.inv(
                 np.asarray(extrinsic, np.float64)).astype(np.float32)
             self.mean_depth = mean_depth
             return None
         e2i = (np.asarray(extrinsic, np.float32)
                @ self.init_extrinsic_inv).astype(np.float32)
+        if self.backend == "pallas":
+            self.state, mask_g, misses = fusion_step_blocked(
+                self.state, jnp.asarray(depth), jnp.asarray(color),
+                jnp.asarray(mask), jnp.asarray(e2i),
+                jnp.asarray(self.intrinsic), self.cfg)
+            self.last_misses = misses
+            return mask_g
         self.state, mask_g = fusion_step(
             self.state, jnp.asarray(depth), jnp.asarray(color),
             jnp.asarray(mask), jnp.asarray(e2i),
             jnp.asarray(self.intrinsic), jnp.asarray(self.intrinsic_inv),
             self.cfg)
         return mask_g
+
+    def dense_state(self):
+        """The volume as a dense TSDFState regardless of backend."""
+        if self.backend == "pallas":
+            from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import to_dense
+            return to_dense(self.state, self.cfg)
+        return self.state
 
 
 @partial(jax.jit, static_argnames=("cfg",))

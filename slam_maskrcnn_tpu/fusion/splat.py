@@ -1,0 +1,206 @@
+"""Splat renderer/probe — the TPU-native fast path for raycasting.
+
+Why: the reference's per-ray march (``src/SfM_CUDA/viewer.cu:17-86``,
+``tsdf.cu:72-135``) is thread-divergent random access — ideal for CUDA,
+pathological on TPU (measured 18.5 s/frame via the vectorized while_loop at
+256^3, PERFORMANCE.md). This module renders the *same surface* by dense
+forward projection instead:
+
+1. surface shell = voxels with normalized SDF in (-1, 0) — the first
+   negative band the marcher's zero-crossing sits on;
+2. active blocks only (the blocked state from ops/pallas/fuse_kernel is
+   the input) — one row-gather compacts them;
+3. z-buffer via scatter-min, winner resolution via a second scatter;
+4. shading reads each winner voxel's contiguous K-bin histogram row with
+   ONE row-gather (the voxel-major hist layout exists for this);
+5. 1-px holes (voxel spacing > pixel spacing) closed by 9 dense shifted
+   minimums.
+
+Exact-parity rendering stays available in fusion/raycast.py (the march);
+this path trades trilinear interpolation at the crossing for
+nearest-surface-voxel values, ~400x faster. The orbit camera's quirky
+geometry (ray origin c differs from the rot translation,
+``viewer.cu:140-146``) is reproduced exactly via an equivalent pinhole
+factorization.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_maskrcnn_tpu.fusion.raycast import INSTANCE_PALETTE
+from slam_maskrcnn_tpu.fusion.state import FusionConfig
+
+BIG = jnp.float32(3.0e38)
+
+
+def pinhole_of_extrinsic(extrinsic, intrinsic):
+    """Standard camera: s = M p + m4, u = s_x/s_z (the probe camera of
+    back_proj_kernel, tsdf.cu:81-89)."""
+    E = jnp.asarray(extrinsic, jnp.float32)
+    Km = jnp.asarray(intrinsic, jnp.float32)[:3, :3]
+    return Km @ E[:3, :3], Km @ E[:3, 3]
+
+
+def pinhole_of_orbit(angle, dist, intrinsic):
+    """The viewer's orbit camera (viewer.cu:140-146) as an exact pinhole.
+
+    Rays are c + t * (R Ki h + tr - c). Solving for the pixel of a world
+    point p: with w = R^T (p - c) and e = R^T (tr - c),
+    u = fx (1 + e_z) w_x / w_z + (cx - fx e_x) (same for v) — a pinhole
+    with scaled focal length and shifted center.
+    """
+    angle = jnp.asarray(angle, jnp.float32)
+    dist = jnp.asarray(dist, jnp.float32)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    R = jnp.array([[1.0, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32)
+    R = R.at[0, 0].set(ca).at[0, 2].set(-sa).at[2, 0].set(sa).at[2, 2].set(ca)
+    tr = jnp.stack([dist * sa, jnp.zeros_like(dist), dist - dist * ca])
+    c = jnp.stack([(dist + 0.5) * sa, jnp.zeros_like(dist),
+                   (dist + 0.5) - (dist + 0.5) * ca])
+    e = R.T @ (tr - c)
+    Km = jnp.asarray(intrinsic, jnp.float32)
+    fx, fy, cx, cy = Km[0, 0], Km[1, 1], Km[0, 2], Km[1, 2]
+    Kp = jnp.array([[0.0, 0, 0], [0, 0, 0], [0, 0, 1]], jnp.float32)
+    Kp = Kp.at[0, 0].set(fx * (1 + e[2])).at[0, 2].set(cx - fx * e[0])
+    Kp = Kp.at[1, 1].set(fy * (1 + e[2])).at[1, 2].set(cy - fy * e[1])
+    M = Kp @ R.T
+    m4 = -(Kp @ (R.T @ c))
+    return M, m4
+
+
+@partial(jax.jit, static_argnames=("H", "W", "max_blocks"))
+def splat_zbuffer(b, M, m4, H, W, max_blocks: int = 4096):
+    """Core splat: returns (zbuf [H*W] f32, winner voxel id [H*W] i32 with
+    -1 for empty, n_active_blocks). Voxel id = blk * 2048 + s * 128 + l,
+    indexing the flat voxel-major views of the blocked arrays."""
+    NB, S, L = b.diff.shape
+    shell = (b.diff < 0.0) & (b.diff > -0.999)
+    act = shell.any(axis=(1, 2))
+    n_act = act.sum()
+    (ids,) = jnp.nonzero(act, size=max_blocks, fill_value=NB)
+    id_ok = ids < NB
+    ids_c = jnp.minimum(ids, NB - 1)
+
+    diff_a = b.diff[ids_c]                      # [MB, S, L] one row-gather
+    shell_a = (diff_a < 0.0) & (diff_a > -0.999) & id_ok[:, None, None]
+
+    # voxel world positions from block ids + intra-block iota
+    nbz, nby = b.nbz, b.nby
+    bx = (ids_c // (nbz * nby)).astype(jnp.float32)
+    by = ((ids_c // nbz) % nby).astype(jnp.float32)
+    bz = (ids_c % nbz).astype(jnp.float32)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+    vlin = s_i * L + l_i
+    dx = (vlin // (8 * 32)).astype(jnp.float32)
+    dy = ((vlin // 32) % 8).astype(jnp.float32)
+    dz = (vlin % 32).astype(jnp.float32)
+    gx = bx[:, None, None] * 8 + dx[None]
+    gy = by[:, None, None] * 8 + dy[None]
+    gz = bz[:, None, None] * 32 + dz[None]
+    px = b.vol_start[0] + gx * b.voxel[0]
+    py = b.vol_start[1] + gy * b.voxel[1]
+    pz = b.vol_start[2] + gz * b.voxel[2]
+
+    sx = M[0, 0] * px + M[0, 1] * py + M[0, 2] * pz + m4[0]
+    sy = M[1, 0] * px + M[1, 1] * py + M[1, 2] * pz + m4[1]
+    sz = M[2, 0] * px + M[2, 1] * py + M[2, 2] * pz + m4[2]
+    safe = jnp.where(jnp.abs(sz) < 1e-9, 1e-9, sz)
+    u = jnp.floor(sx / safe + 0.5).astype(jnp.int32)
+    v = jnp.floor(sy / safe + 0.5).astype(jnp.int32)
+    vis = shell_a & (sz > 1e-6) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    pix = jnp.where(vis, v * W + u, H * W)
+
+    z = jnp.where(vis, sz, BIG)
+    zbuf = jnp.full((H * W + 1,), BIG, jnp.float32)
+    zbuf = zbuf.at[pix.reshape(-1)].min(z.reshape(-1))
+
+    # winner voxel per pixel (ties resolved by min voxel id)
+    z_at = zbuf[pix]
+    win = vis & (z <= z_at)
+    code = (ids_c[:, None, None] * (S * L) + vlin[None]).astype(jnp.int32)
+    vbuf = jnp.full((H * W + 1,), jnp.int32(2 ** 31 - 1), jnp.int32)
+    vbuf = vbuf.at[pix.reshape(-1)].min(
+        jnp.where(win, code, 2 ** 31 - 1).reshape(-1))
+    vid = jnp.where(zbuf[:-1] < BIG, vbuf[:-1], -1)
+    return zbuf[:-1], vid, n_act
+
+
+def _fill_holes(zbuf2d, vid2d):
+    """Close 1-px holes: empty pixels take the nearest-z neighbor among the
+    8-neighborhood (9 dense shifted minimums)."""
+    H, W = zbuf2d.shape
+    best_z = zbuf2d
+    best_v = vid2d
+    empty = zbuf2d >= BIG
+    fz = jnp.full_like(zbuf2d, BIG)
+    fv = jnp.full_like(vid2d, -1)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nz = jnp.roll(zbuf2d, (dy, dx), axis=(0, 1))
+            nv = jnp.roll(vid2d, (dy, dx), axis=(0, 1))
+            better = empty & (nz < fz)
+            fz = jnp.where(better, nz, fz)
+            fv = jnp.where(better, nv, fv)
+    best_z = jnp.where(empty, fz, best_z)
+    best_v = jnp.where(empty, fv, best_v)
+    return best_z, best_v
+
+
+@partial(jax.jit, static_argnames=("cfg", "H", "W", "mode", "max_blocks",
+                                   "fill"))
+def splat_render(b, M, m4, H: int, W: int, cfg: FusionConfig,
+                 mode: str = "instance", max_blocks: int = 4096,
+                 fill: bool = True):
+    """Render the blocked volume from a pinhole (M, m4). Returns uint8
+    [H, W, 3] RGB (instance palette or volume color)."""
+    zbuf, vid, _ = splat_zbuffer(b, M, m4, H, W, max_blocks)
+    zb2, vd2 = (zbuf.reshape(H, W), vid.reshape(H, W))
+    if fill:
+        zb2, vd2 = _fill_holes(zb2, vd2)
+    have = vd2 >= 0
+    vsafe = jnp.maximum(vd2, 0)
+    if mode == "color":
+        cflat = b.colorpk.reshape(-1)
+        cpk = cflat[vsafe]
+        blue = jnp.mod(cpk, 256.0)
+        green = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
+        red = jnp.floor(cpk / 65536.0)
+        img = jnp.stack([red, green, blue], -1)  # RGB out
+        return jnp.where(have[..., None], img, 0.0).astype(jnp.uint8)
+    K = b.hist.shape[-1] // b.diff.shape[-1]
+    hist_vox = b.hist.reshape(-1, K)
+    rows = hist_vox[vsafe]                      # one row-gather [H, W, K]
+    obj = jnp.argmax(rows, axis=-1)
+    maxc = jnp.max(rows, axis=-1)
+    lit = have & (obj > 0) & (maxc > 0)
+    img = jnp.where(lit[..., None], INSTANCE_PALETTE[obj], 0)
+    return img.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("cfg", "H", "W", "max_blocks"))
+def splat_probe(b, extrinsic2init, intrinsic, H: int, W: int,
+                cfg: FusionConfig, max_blocks: int = 4096):
+    """Fast back-projection probe (the role of back_proj_kernel,
+    tsdf.cu:72-135): per-pixel instance histogram at the fused surface seen
+    from the sensor camera. Returns (probs [H, W, K] f32 raw counts,
+    box_mask [H, W, K] bool) — nearest-voxel counts instead of trilinear
+    interpolation (fast mode)."""
+    M, m4 = pinhole_of_extrinsic(extrinsic2init, intrinsic)
+    zbuf, vid, _ = splat_zbuffer(b, M, m4, H, W, max_blocks)
+    zb2, vd2 = _fill_holes(zbuf.reshape(H, W), vid.reshape(H, W))
+    have = vd2 >= 0
+    vsafe = jnp.maximum(vd2, 0)
+    K = b.hist.shape[-1] // b.diff.shape[-1]
+    hist_vox = b.hist.reshape(-1, K)
+    rows = hist_vox[vsafe].astype(jnp.float32)
+    probs = jnp.where(have[..., None], rows, 0.0)
+    box_mask = probs > cfg.box_mask_thresh
+    return probs, box_mask

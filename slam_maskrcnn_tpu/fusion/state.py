@@ -64,6 +64,11 @@ class FusionConfig:
     # Ray march safety cap (reference marches until tfar; we bound the
     # while_loop). diagonal/min-step with slack.
     max_march_steps: int = 4096
+    # Pallas fuse kernel: per-block image rect (h, w). Must bound the
+    # projected footprint of one (8, 8, 32)-voxel block; the kernel reports
+    # a miss count when exceeded (fall back to the XLA path then).
+    # Mosaic lane rules require both to be multiples of 128.
+    pallas_rect: tuple = (128, 256)
     # "majority-vote" single-id mode of the TSDF_Python prototype
     # (src/TSDF_Python/tsdf.cu:48-57): Boyer-Moore count instead of the full
     # histogram — 1/max_objects the memory. Optional compatibility mode.
