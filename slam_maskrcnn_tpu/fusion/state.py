@@ -68,7 +68,7 @@ class FusionConfig:
     # projected footprint of one (8, 8, 32)-voxel block; the kernel reports
     # a miss count when exceeded (fall back to the XLA path then).
     # Mosaic lane rules require both to be multiples of 128.
-    pallas_rect: tuple = (128, 256)
+    pallas_rect: tuple = (128, 384)
     # "majority-vote" single-id mode of the TSDF_Python prototype
     # (src/TSDF_Python/tsdf.cu:48-57): Boyer-Moore count instead of the full
     # histogram — 1/max_objects the memory. Optional compatibility mode.

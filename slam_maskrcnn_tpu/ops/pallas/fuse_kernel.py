@@ -47,7 +47,7 @@ BX, BY, BZ = 8, 8, 32
 BLOCK_VOX = BX * BY * BZ  # 2048
 TILE_S, TILE_L = 16, 128
 RECT_H, RECT_W = 128, 256  # 128-lane-aligned DMA starts need 128 slack in w
-GROUP = 8  # blocks per grid step
+GROUP = 4  # blocks per grid step (VMEM-bounded)
 
 
 class BlockedTSDFState(struct.PyTreeNode):
@@ -227,7 +227,6 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
     dzc = (vlin % BZ).astype(jnp.float32)
 
     rh_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOX, rect_h), 1)
-    cw_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOX, rect_w), 1)
 
     # lane-expansion matrix for the hist update: Rexp[l, j] = (l == j // K).
     # m_rep = m @ Rexp realizes m_rep[s, l*K+k] = m[s, l] on the MXU —
@@ -235,7 +234,9 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
     # take_along_axis over [16, 128*K] is not available.
     l_of_j = jax.lax.broadcasted_iota(jnp.int32, (TILE_L, TILE_L * K), 1) // K
     l_row = jax.lax.broadcasted_iota(jnp.int32, (TILE_L, TILE_L * K), 0)
-    rexp = (l_of_j == l_row).astype(jnp.float32)
+    # bf16 halves the resident constant; operands (<= K-1 and 0/1) are
+    # bf16-exact and the one-term sums stay exact
+    rexp = (l_of_j == l_row).astype(jnp.bfloat16)
     k_pat = (jax.lax.broadcasted_iota(jnp.int32, (TILE_S, TILE_L * K), 1)
              % K).astype(jnp.float32)
 
@@ -278,11 +279,25 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
         # one-hot select (VPU). `ok` folded into the one-hot so invalid
         # voxels read 0 (-> d_raw == 0 -> invalid, same as the XLA path).
         row_oh = ((vl == rh_i) & ok).astype(jnp.float32)
-        col_oh = (ul == cw_i).astype(jnp.float32)
-        both = jnp.concatenate([rect1[g], rect2[g]], axis=1)
-        t = jnp.dot(row_oh, both, preferred_element_type=jnp.float32)
-        val1c = jnp.sum(t[:, :rect_w] * col_oh, axis=1, keepdims=True)
-        val2c = jnp.sum(t[:, rect_w:] * col_oh, axis=1, keepdims=True)
+        # HIGHEST precision: the default TPU matmul truncates f32 inputs to
+        # bf16, destroying the exact packed integers (<2^24). With a 0/1
+        # one-hot left operand, full-precision passes keep every product
+        # exact. Two sequential matmuls + 128-lane-chunked column selects
+        # keep peak VMEM under the 16MB scoped limit.
+        def lookup(rect_ref):
+            t = jnp.dot(row_oh, rect_ref, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            acc = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
+            for c0 in range(0, rect_w, 128):
+                oh_c = (ul == cw_i[:, c0:c0 + 128] + 0).astype(jnp.float32)                     if False else (ul == (jax.lax.broadcasted_iota(
+                        jnp.int32, (BLOCK_VOX, 128), 1) + c0)).astype(
+                        jnp.float32)
+                acc = acc + jnp.sum(t[:, c0:c0 + 128] * oh_c, axis=1,
+                                    keepdims=True)
+            return acc
+
+        val1c = lookup(rect1[g])
+        val2c = lookup(rect2[g])
 
         d_raw = jnp.mod(val1c, 65536.0)            # uint16 depth, exact
         m_id = jnp.floor(val1c / 65536.0)          # mask id
@@ -327,9 +342,9 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
         colorpk_out[g] = jnp.where(gate, new_cpk, cpk)
 
         # histogram: voxel-major lanes (j = l*K + k); expansion via MXU
-        m_rep = jnp.dot(m_clip.astype(jnp.float32), rexp,
+        m_rep = jnp.dot(m_clip.astype(jnp.bfloat16), rexp,
                         preferred_element_type=jnp.float32)
-        g_rep = jnp.dot(gate.astype(jnp.float32), rexp,
+        g_rep = jnp.dot(gate.astype(jnp.bfloat16), rexp,
                         preferred_element_type=jnp.float32)
         oh = (m_rep == k_pat) & (g_rep > 0.5)
         hist_out[g] = hist_ref[g] + oh.astype(jnp.uint16)
@@ -414,6 +429,8 @@ def fuse_frame_blocked(b: BlockedTSDFState, depth: jax.Array,
     new_diff, new_cpk, new_wt, new_hist, miss = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=[
             jax.ShapeDtypeStruct(b.diff.shape, jnp.float32),
             jax.ShapeDtypeStruct(b.colorpk.shape, jnp.float32),

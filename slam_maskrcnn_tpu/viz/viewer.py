@@ -1,0 +1,85 @@
+"""Live orbit viewer — the ``Viewer::show_tsdf`` loop.
+
+= the reference viewer (``src/SfM_CUDA/viewer.cu:137-179`` +
+``kernel.cpp:101-107``): orbit the fused volume, render the instance-argmax
+(or RGB) view, display via cv2.imshow (gated — headless environments can
+write frames to disk instead). The renderer defaults to the fast splat path
+when handed a blocked state; the exact march renders dense states.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Viewer:
+    def __init__(self, width: int, height: int, intrinsic: np.ndarray,
+                 cfg=None, window: str = "img"):
+        self.width = width
+        self.height = height
+        self.intrinsic = np.asarray(intrinsic, np.float32)
+        if self.intrinsic.shape == (3, 3):
+            K = np.eye(4, dtype=np.float32)
+            K[:3, :3] = self.intrinsic
+            self.intrinsic = K
+        self.intrinsic_inv = np.linalg.inv(self.intrinsic)
+        self.cfg = cfg
+        self.window = window
+
+    def render(self, state, angle: float, dist: float,
+               mode: str = "instance") -> np.ndarray:
+        """One frame, uint8 RGB. Dispatches on state type."""
+        import jax.numpy as jnp
+
+        from slam_maskrcnn_tpu.fusion.state import FusionConfig
+        cfg = self.cfg or FusionConfig()
+        from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import BlockedTSDFState
+        if isinstance(state, BlockedTSDFState):
+            from slam_maskrcnn_tpu.fusion.splat import (pinhole_of_orbit,
+                                                        splat_render)
+            M, m4 = pinhole_of_orbit(angle, dist, jnp.asarray(self.intrinsic))
+            return np.asarray(splat_render(state, M, m4, self.height,
+                                           self.width, cfg, mode=mode))
+        from slam_maskrcnn_tpu.fusion.raycast import render_orbit
+        return np.asarray(render_orbit(state, angle, dist,
+                                       jnp.asarray(self.intrinsic_inv),
+                                       self.height, self.width, cfg, mode))
+
+    def show_tsdf(self, state, angle: float, dist: float,
+                  mode: str = "instance", wait_ms: int = 10):
+        """Render + imshow (viewer.cu:176-177). Returns the frame; silently
+        skips the window when no display is available."""
+        img = self.render(state, angle, dist, mode)
+        try:
+            import cv2
+
+            cv2.imshow(self.window, img[:, :, ::-1])
+            cv2.waitKey(wait_ms)
+        except Exception:
+            pass
+        return img
+
+    def spin(self, state, dist: float, n_frames: int | None = None,
+             angle_step: float = 0.01, mode: str = "instance",
+             save_dir: str | None = None):
+        """The kernel.cpp:101-107 loop: angle += 0.01 per frame. With
+        n_frames set, renders that many and returns them (headless)."""
+        import itertools
+
+        frames = []
+        angle = 0.0
+        it = range(n_frames) if n_frames else itertools.count()
+        for k in it:
+            angle += angle_step
+            img = self.show_tsdf(state, angle, dist, mode)
+            if save_dir:
+                import os
+
+                import cv2
+
+                os.makedirs(save_dir, exist_ok=True)
+                cv2.imwrite(os.path.join(save_dir, f"orbit_{k:05d}.png"),
+                            img[:, :, ::-1])
+            if n_frames:
+                frames.append(img)
+        return frames

@@ -1,0 +1,170 @@
+"""Samples / auxiliary module tests: COCO dataset parsing, RLE kaggle,
+color splash, tracker helpers, SfM two-view geometry, PatchMatch,
+visualization, dataset audit."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from slam_maskrcnn_tpu.samples.balloon import color_splash
+from slam_maskrcnn_tpu.samples.coco import (CocoDataset, ann_to_mask)
+from slam_maskrcnn_tpu.samples.dataset_audit import audit
+from slam_maskrcnn_tpu.samples.mask_image import (calc_overlap_ratio,
+                                                  depth_filter_median,
+                                                  union_mask_roi)
+from slam_maskrcnn_tpu.samples.nucleus import (mask_to_rle, rle_decode_kaggle,
+                                               rle_encode_kaggle)
+from slam_maskrcnn_tpu.sfm import PatchMatch, slam_two_view, triangulate
+from slam_maskrcnn_tpu.viz import display_instances, random_colors
+
+
+def test_coco_dataset_from_json(tmp_path):
+    # minimal COCO JSON with one polygon annotation
+    img_dir = tmp_path / "train2014"
+    img_dir.mkdir()
+    import cv2
+
+    cv2.imwrite(str(img_dir / "img1.png"),
+                np.zeros((40, 60, 3), np.uint8))
+    ann_dir = tmp_path / "annotations"
+    ann_dir.mkdir()
+    coco = {
+        "images": [{"id": 1, "file_name": "img1.png", "width": 60,
+                    "height": 40}],
+        "categories": [{"id": 7, "name": "truck"}],
+        "annotations": [{
+            "id": 10, "image_id": 1, "category_id": 7, "iscrowd": 0,
+            "segmentation": [[10, 10, 30, 10, 30, 30, 10, 30]],
+            "area": 400, "bbox": [10, 10, 20, 20]}],
+    }
+    (ann_dir / "instances_train2014.json").write_text(json.dumps(coco))
+    ds = CocoDataset()
+    ds.load_coco(str(tmp_path), "train", "2014")
+    ds.prepare()
+    assert ds.num_images == 1
+    masks, ids = ds.load_mask(0)
+    assert masks.shape == (40, 60, 1)
+    assert masks[20, 20, 0] and not masks[5, 5, 0]
+    assert ds.class_names[ids[0]] == "truck"
+
+
+def test_ann_to_mask_rle_dict():
+    from slam_maskrcnn_tpu.eval.rle import rle_encode
+    m = np.zeros((10, 12), np.uint8)
+    m[2:5, 3:7] = 1
+    r = rle_encode(m)
+    ann = {"segmentation": {"size": r["size"],
+                            "counts": [int(c) for c in r["counts"]]}}
+    back = ann_to_mask(ann, 10, 12)
+    np.testing.assert_array_equal(back, m.astype(bool))
+
+
+def test_kaggle_rle_roundtrip():
+    rng = np.random.default_rng(0)
+    m = rng.random((17, 23)) < 0.4
+    s = rle_encode_kaggle(m)
+    back = rle_decode_kaggle(s, m.shape)
+    np.testing.assert_array_equal(back, m)
+    multi = np.stack([m, ~m], -1)
+    txt = mask_to_rle("img", multi, np.array([0.9, 0.5]))
+    assert txt.count("img") == 2
+
+
+def test_color_splash():
+    img = np.full((8, 8, 3), 200, np.uint8)
+    mask = np.zeros((8, 8, 1), bool)
+    mask[2:4, 2:4, 0] = True
+    out = color_splash(img, mask)
+    assert (out[2, 2] == img[2, 2]).all()      # colored inside mask
+    assert out[0, 0, 0] == out[0, 0, 1] == out[0, 0, 2]  # gray outside
+
+
+def test_tracker_helpers():
+    b1 = np.array([0, 0, 10, 10])
+    assert calc_overlap_ratio(b1, b1) == 1.0
+    assert calc_overlap_ratio(b1, np.array([20, 20, 30, 30])) == 0.0
+    depth = np.full((10, 10), 1000, np.uint16)
+    depth[0, 0] = 60000
+    mask = np.ones((10, 10), bool)
+    out = depth_filter_median(depth, mask)
+    assert not out[0, 0] and out[5, 5]
+    d = dict(box=b1, mask=np.ones((4, 4), bool))
+    m = dict(box=b1 + 1, mask=np.zeros((4, 4), bool))
+    u = union_mask_roi(d, m)
+    assert u["mask"].all()
+
+
+def test_triangulate_exact():
+    # known 3D points, two cameras -> triangulation recovers them
+    rng = np.random.default_rng(1)
+    X = rng.uniform([-1, -1, 4], [1, 1, 6], (12, 3))
+    P1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    R = np.eye(3)
+    t = np.array([[-0.5], [0.0], [0.0]])
+    P2 = np.hstack([R, t])
+    p1 = (P1 @ np.column_stack([X, np.ones(12)]).T).T
+    p2 = (P2 @ np.column_stack([X, np.ones(12)]).T).T
+    p1 = p1[:, :2] / p1[:, 2:3]
+    p2 = p2[:, :2] / p2[:, 2:3]
+    Xr = triangulate(P1, P2, p1, p2)
+    np.testing.assert_allclose(Xr, X, atol=1e-6)
+
+
+def test_slam_two_view_synthetic():
+    import cv2
+
+    rng = np.random.default_rng(2)
+    # textured plane viewed from two poses
+    tex = (rng.random((200, 260)) * 255).astype(np.uint8)
+    tex = cv2.GaussianBlur(tex, (5, 5), 1.0)
+    img1 = tex
+    M = np.float32([[1, 0, 12], [0, 1, 0]])
+    img2 = cv2.warpAffine(tex, M, (260, 200))
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 200.0
+    K[0, 2], K[1, 2] = 130, 100
+    try:
+        out = slam_two_view(img1, img2, K, depth_estimate=False)
+    except ValueError:
+        pytest.skip("not enough features on synthetic texture")
+    assert out["points"].shape[1] == 3
+    assert out["positive_depth_votes"] > 0
+
+
+def test_patchmatch_recovers_constant_shift():
+    rng = np.random.default_rng(3)
+    right = (rng.random((40, 80)) * 255).astype(np.float32)
+    import cv2
+
+    right = cv2.GaussianBlur(right, (5, 5), 1.2)
+    true_d = 6
+    left = np.roll(right, true_d, axis=1)
+    pm = PatchMatch(left, right, patch=7, max_disp=16, seed=0)
+    disp = pm.run(iters=4)
+    inner = disp[10:-10, 20:-10]
+    assert abs(np.median(inner) - true_d) < 1.5
+
+
+def test_display_instances_headless():
+    img = np.zeros((32, 32, 3), np.uint8)
+    boxes = np.array([[4, 4, 20, 20]], np.float32)
+    masks = np.zeros((32, 32, 1), bool)
+    masks[6:18, 6:18, 0] = True
+    out = display_instances(img, boxes, masks, np.array([1]),
+                            ["BG", "thing"], np.array([0.9]), show=False)
+    assert out.shape == (32, 32, 3)
+    assert out.max() > 0
+    assert len(random_colors(5)) == 5
+
+
+def test_dataset_audit(tmp_path):
+    for stream in ("rgb", "depth"):
+        d = tmp_path / stream
+        d.mkdir()
+        for ts in ("1311871923.0043", "1311871923.5", "1311871924.1"):
+            (d / f"{ts}.png").write_bytes(b"x")
+    r = audit(str(tmp_path))
+    assert r["rgb"]["total"] == 3
+    assert r["rgb"]["per_second"][1311871923] == 2
