@@ -73,7 +73,6 @@ def pinhole_of_orbit(angle, dist, intrinsic):
     return M, m4
 
 
-@partial(jax.jit, static_argnames=("H", "W", "max_blocks"))
 def splat_zbuffer(b, M, m4, H, W, max_blocks: int = 4096):
     """Core splat: returns (zbuf [H*W] f32, winner voxel id [H*W] i32 with
     -1 for empty, n_active_blocks). Voxel id = blk * 2048 + s * 128 + l,
@@ -156,11 +155,9 @@ def _fill_holes(zbuf2d, vid2d):
 
 @partial(jax.jit, static_argnames=("cfg", "H", "W", "mode", "max_blocks",
                                    "fill"))
-def splat_render(b, M, m4, H: int, W: int, cfg: FusionConfig,
-                 mode: str = "instance", max_blocks: int = 4096,
-                 fill: bool = True):
-    """Render the blocked volume from a pinhole (M, m4). Returns uint8
-    [H, W, 3] RGB (instance palette or volume color)."""
+def _splat_render_jit(b, M, m4, H: int, W: int, cfg: FusionConfig,
+                      mode: str = "instance", max_blocks: int = 4096,
+                      fill: bool = True):
     zbuf, vid, _ = splat_zbuffer(b, M, m4, H, W, max_blocks)
     zb2, vd2 = (zbuf.reshape(H, W), vid.reshape(H, W))
     if fill:
@@ -186,8 +183,8 @@ def splat_render(b, M, m4, H: int, W: int, cfg: FusionConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg", "H", "W", "max_blocks"))
-def splat_probe(b, extrinsic2init, intrinsic, H: int, W: int,
-                cfg: FusionConfig, max_blocks: int = 4096):
+def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
+                     cfg: FusionConfig, max_blocks: int = 4096):
     """Fast back-projection probe (the role of back_proj_kernel,
     tsdf.cu:72-135): per-pixel instance histogram at the fused surface seen
     from the sensor camera. Returns (probs [H, W, K] f32 raw counts,
@@ -204,3 +201,23 @@ def splat_probe(b, extrinsic2init, intrinsic, H: int, W: int,
     probs = jnp.where(have[..., None], rows, 0.0)
     box_mask = probs > cfg.box_mask_thresh
     return probs, box_mask
+
+
+def splat_render(b, M, m4, H, W, cfg, mode="instance", max_blocks=4096,
+                 fill=True):
+    """Render the blocked volume from a pinhole (M, m4). Returns uint8
+    [H, W, 3] RGB (instance palette or volume color).
+
+    Thin non-jitted wrapper: calling the jitted callable directly from some
+    call sites trips a jax-0.9 C++ fastpath bug ("Execution supplied 6
+    buffers but compiled program expected 8") on repeat calls; the extra
+    Python frame sidesteps it.
+    """
+    return _splat_render_jit(b, M, m4, H, W, cfg, mode=mode,
+                             max_blocks=max_blocks, fill=fill)
+
+
+def splat_probe(b, extrinsic2init, intrinsic, H, W, cfg, max_blocks=4096):
+    """See _splat_probe_jit (same fastpath-bug wrapper as splat_render)."""
+    return _splat_probe_jit(b, extrinsic2init, intrinsic, H, W, cfg,
+                            max_blocks=max_blocks)

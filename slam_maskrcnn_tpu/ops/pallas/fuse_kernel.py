@@ -47,7 +47,7 @@ BX, BY, BZ = 8, 8, 32
 BLOCK_VOX = BX * BY * BZ  # 2048
 TILE_S, TILE_L = 16, 128
 RECT_H, RECT_W = 128, 256  # 128-lane-aligned DMA starts need 128 slack in w
-GROUP = 4  # blocks per grid step (VMEM-bounded)
+GROUP = 16  # blocks per grid step
 
 
 class BlockedTSDFState(struct.PyTreeNode):

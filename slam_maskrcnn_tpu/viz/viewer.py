@@ -50,13 +50,18 @@ class Viewer:
         """Render + imshow (viewer.cu:176-177). Returns the frame; silently
         skips the window when no display is available."""
         img = self.render(state, angle, dist, mode)
-        try:
-            import cv2
+        # cv2.imshow aborts the process (Qt) in headless environments — a
+        # try/except cannot catch it, so gate on an actual display
+        import os
 
-            cv2.imshow(self.window, img[:, :, ::-1])
-            cv2.waitKey(wait_ms)
-        except Exception:
-            pass
+        if os.environ.get("DISPLAY") or os.name == "nt":
+            try:
+                import cv2
+
+                cv2.imshow(self.window, img[:, :, ::-1])
+                cv2.waitKey(wait_ms)
+            except Exception:
+                pass
         return img
 
     def spin(self, state, dist: float, n_frames: int | None = None,
