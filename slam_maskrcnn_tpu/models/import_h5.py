@@ -74,8 +74,8 @@ def load_h5_weights(path: str, variables, exclude=None):
     # index our tree by the layer name (the path component matching a Keras
     # layer), e.g. (params, resnet, res2a_branch2a, kernel)
     by_layer: dict[str, dict] = {}
-    for path in flat:
-        for comp in path:
+    for tree_path in flat:
+        for comp in tree_path:
             by_layer.setdefault(comp, {})
 
     def set_weight(layer, kind, value):
