@@ -190,8 +190,12 @@ class TUMSequence:
         self.trajectory = read_trajectory(os.path.join(root, "groundtruth.txt"))
         self.interpolate_poses = interpolate_poses
         depth_ts = np.array([filename_timestamp(f) for f in self.depth_files])
-        mask_ts = np.array([filename_timestamp(f) for f in self.mask_files])
-        self.pairs = match_timestamps(depth_ts, mask_ts, begin, end, max_frames)
+        # without precomputed masks (live pipeline), pair depth<->rgb instead
+        self.has_masks = len(self.mask_files) > 0
+        second = self.mask_files if self.has_masks else self.rgb_files
+        second_ts = np.array([filename_timestamp(f) for f in second])
+        self.pairs = match_timestamps(depth_ts, second_ts, begin, end,
+                                      max_frames)
         self.depth_ts = depth_ts
 
     def __len__(self):
@@ -203,7 +207,8 @@ class TUMSequence:
         cv2 = self._cv2
         i, j = self.pairs[k]
         depth = cv2.imread(self.depth_files[i], cv2.IMREAD_ANYDEPTH)
-        mask = cv2.imread(self.mask_files[j], cv2.IMREAD_GRAYSCALE)
+        mask = (cv2.imread(self.mask_files[j], cv2.IMREAD_GRAYSCALE)
+                if self.has_masks else None)
         # NOTE: the reference indexes rgb by the *mask* pointer j
         # (kernel.cpp:71) — rgb and mask share timestamps by construction.
         color = self._cv2.imread(self.rgb_files[j])

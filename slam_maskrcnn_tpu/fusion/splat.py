@@ -74,22 +74,33 @@ def pinhole_of_orbit(angle, dist, intrinsic):
 
 
 def splat_zbuffer(b, M, m4, H, W, max_blocks: int = 4096):
+    """Core splat (see _splat_zbuffer_arrays). Convenience pytree entry."""
+    return _splat_zbuffer_arrays(b.diff, b.vol_start, b.voxel, M, m4,
+                                 H, W, b.nby, b.nbz, max_blocks)
+
+
+def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
+                          nby: int, nbz: int, max_blocks: int = 4096):
     """Core splat: returns (zbuf [H*W] f32, winner voxel id [H*W] i32 with
     -1 for empty, n_active_blocks). Voxel id = blk * 2048 + s * 128 + l,
-    indexing the flat voxel-major views of the blocked arrays."""
-    NB, S, L = b.diff.shape
-    shell = (b.diff < 0.0) & (b.diff > -0.999)
+    indexing the flat voxel-major views of the blocked arrays.
+
+    Takes explicit arrays (not the state pytree) so jitted callers have no
+    unused pytree leaves — a jax-0.9 fastpath bug miscounts donated/pruned
+    buffers on repeat calls otherwise.
+    """
+    NB, S, L = diff.shape
+    shell = (diff < 0.0) & (diff > -0.999)
     act = shell.any(axis=(1, 2))
     n_act = act.sum()
     (ids,) = jnp.nonzero(act, size=max_blocks, fill_value=NB)
     id_ok = ids < NB
     ids_c = jnp.minimum(ids, NB - 1)
 
-    diff_a = b.diff[ids_c]                      # [MB, S, L] one row-gather
+    diff_a = diff[ids_c]                        # [MB, S, L] one row-gather
     shell_a = (diff_a < 0.0) & (diff_a > -0.999) & id_ok[:, None, None]
 
     # voxel world positions from block ids + intra-block iota
-    nbz, nby = b.nbz, b.nby
     bx = (ids_c // (nbz * nby)).astype(jnp.float32)
     by = ((ids_c // nbz) % nby).astype(jnp.float32)
     bz = (ids_c % nbz).astype(jnp.float32)
@@ -102,9 +113,9 @@ def splat_zbuffer(b, M, m4, H, W, max_blocks: int = 4096):
     gx = bx[:, None, None] * 8 + dx[None]
     gy = by[:, None, None] * 8 + dy[None]
     gz = bz[:, None, None] * 32 + dz[None]
-    px = b.vol_start[0] + gx * b.voxel[0]
-    py = b.vol_start[1] + gy * b.voxel[1]
-    pz = b.vol_start[2] + gz * b.voxel[2]
+    px = vol_start[0] + gx * voxel[0]
+    py = vol_start[1] + gy * voxel[1]
+    pz = vol_start[2] + gz * voxel[2]
 
     sx = M[0, 0] * px + M[0, 1] * py + M[0, 2] * pz + m4[0]
     sy = M[1, 0] * px + M[1, 1] * py + M[1, 2] * pz + m4[1]
@@ -114,18 +125,29 @@ def splat_zbuffer(b, M, m4, H, W, max_blocks: int = 4096):
     v = jnp.floor(sy / safe + 0.5).astype(jnp.int32)
     vis = shell_a & (sz > 1e-6) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
     pix = jnp.where(vis, v * W + u, H * W)
-
     z = jnp.where(vis, sz, BIG)
+    code = (ids_c[:, None, None] * (S * L) + vlin[None]).astype(jnp.int32)
+
+    # compact visible surface voxels before the scatters: gather/scatter
+    # costs ~12 ns/index (PERFORMANCE.md), so shrinking the index set from
+    # max_blocks*2048 to ~max_surface dominates the splat cost
+    max_surface = min(max_blocks * 2048 // 8, 512 * 1024)
+    (sel,) = jnp.nonzero(vis.reshape(-1), size=max_surface,
+                         fill_value=vis.size)
+    sel_ok = sel < vis.size
+    sel_c = jnp.minimum(sel, vis.size - 1)
+    z_s = jnp.where(sel_ok, z.reshape(-1)[sel_c], BIG)
+    pix_s = jnp.where(sel_ok, pix.reshape(-1)[sel_c], H * W)
+    code_s = code.reshape(-1)[sel_c]
+
     zbuf = jnp.full((H * W + 1,), BIG, jnp.float32)
-    zbuf = zbuf.at[pix.reshape(-1)].min(z.reshape(-1))
+    zbuf = zbuf.at[pix_s].min(z_s)
 
     # winner voxel per pixel (ties resolved by min voxel id)
-    z_at = zbuf[pix]
-    win = vis & (z <= z_at)
-    code = (ids_c[:, None, None] * (S * L) + vlin[None]).astype(jnp.int32)
+    z_at = zbuf[pix_s]
+    win = sel_ok & (z_s <= z_at)
     vbuf = jnp.full((H * W + 1,), jnp.int32(2 ** 31 - 1), jnp.int32)
-    vbuf = vbuf.at[pix.reshape(-1)].min(
-        jnp.where(win, code, 2 ** 31 - 1).reshape(-1))
+    vbuf = vbuf.at[pix_s].min(jnp.where(win, code_s, 2 ** 31 - 1))
     vid = jnp.where(zbuf[:-1] < BIG, vbuf[:-1], -1)
     return zbuf[:-1], vid, n_act
 
@@ -153,27 +175,29 @@ def _fill_holes(zbuf2d, vid2d):
     return best_z, best_v
 
 
-@partial(jax.jit, static_argnames=("cfg", "H", "W", "mode", "max_blocks",
-                                   "fill"))
-def _splat_render_jit(b, M, m4, H: int, W: int, cfg: FusionConfig,
+@partial(jax.jit, static_argnames=("H", "W", "mode", "max_blocks",
+                                   "fill", "nby", "nbz"))
+def _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
+                      H: int, W: int, nby: int, nbz: int,
                       mode: str = "instance", max_blocks: int = 4096,
                       fill: bool = True):
-    zbuf, vid, _ = splat_zbuffer(b, M, m4, H, W, max_blocks)
+    zbuf, vid, _ = _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4,
+                                         H, W, nby, nbz, max_blocks)
     zb2, vd2 = (zbuf.reshape(H, W), vid.reshape(H, W))
     if fill:
         zb2, vd2 = _fill_holes(zb2, vd2)
     have = vd2 >= 0
     vsafe = jnp.maximum(vd2, 0)
     if mode == "color":
-        cflat = b.colorpk.reshape(-1)
+        cflat = colorpk.reshape(-1)
         cpk = cflat[vsafe]
         blue = jnp.mod(cpk, 256.0)
         green = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
         red = jnp.floor(cpk / 65536.0)
         img = jnp.stack([red, green, blue], -1)  # RGB out
         return jnp.where(have[..., None], img, 0.0).astype(jnp.uint8)
-    K = b.hist.shape[-1] // b.diff.shape[-1]
-    hist_vox = b.hist.reshape(-1, K)
+    K = hist.shape[-1] // diff.shape[-1]
+    hist_vox = hist.reshape(-1, K)
     rows = hist_vox[vsafe]                      # one row-gather [H, W, K]
     obj = jnp.argmax(rows, axis=-1)
     maxc = jnp.max(rows, axis=-1)
@@ -185,6 +209,8 @@ def _splat_render_jit(b, M, m4, H: int, W: int, cfg: FusionConfig,
 @partial(jax.jit, static_argnames=("cfg", "H", "W", "max_blocks"))
 def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
                      cfg: FusionConfig, max_blocks: int = 4096):
+    # (called from inside fusion_step_blocked traces or via the wrapper;
+    # all leaves used -> not affected by the fastpath pruning bug)
     """Fast back-projection probe (the role of back_proj_kernel,
     tsdf.cu:72-135): per-pixel instance histogram at the fused surface seen
     from the sensor camera. Returns (probs [H, W, K] f32 raw counts,
@@ -213,7 +239,8 @@ def splat_render(b, M, m4, H, W, cfg, mode="instance", max_blocks=4096,
     buffers but compiled program expected 8") on repeat calls; the extra
     Python frame sidesteps it.
     """
-    return _splat_render_jit(b, M, m4, H, W, cfg, mode=mode,
+    return _splat_render_jit(b.diff, b.colorpk, b.hist, b.vol_start,
+                             b.voxel, M, m4, H, W, b.nby, b.nbz, mode=mode,
                              max_blocks=max_blocks, fill=fill)
 
 

@@ -115,6 +115,12 @@ class MaskRCNNModule(nn.Module):
 
         masks = jax.vmap(mask_per_image, in_axes=(0, 0))(
             mrcnn_feats, detections[..., :4])
+        # select each detection's own class mask on device: shipping the
+        # full [B, D, 28, 28, C] stack to the host costs ~25 MB/frame at
+        # C=81 (the dominant latency through a remote device link)
+        cls = detections[..., 4].astype(jnp.int32)          # [B, D]
+        masks = jnp.take_along_axis(
+            masks, cls[:, :, None, None, None], axis=-1)[..., 0]
         return dict(detections=detections, detection_valid=det_valid,
                     masks=masks, proposals=proposals, rpn_probs=rpn_probs,
                     rpn_bbox=rpn_bbox)
@@ -290,6 +296,7 @@ class MaskRCNN:
         )
         self.params = None
         self._apply = None
+        self._anchors_dev = None
 
     # -- parameters ---------------------------------------------------------
 
@@ -335,20 +342,25 @@ class MaskRCNN:
     # -- inference ----------------------------------------------------------
 
     def mold_inputs(self, images):
-        """= model.py:2332-2369. Returns (molded [B,H,W,3], metas, windows)."""
+        """= model.py:2332-2369. Returns (resized uint8 [B,H,W,3], windows);
+        the mean-pixel subtraction happens on device (uint8 upload is 4x
+        smaller over a remote device link)."""
         molded, windows = [], []
         for img in images:
             m, window, scale, _ = resize_image(
                 img, self.config.IMAGE_MIN_DIM, self.config.IMAGE_MAX_DIM,
                 self.config.IMAGE_MIN_SCALE, self.config.IMAGE_RESIZE_MODE)
-            molded.append(mold_image(m, self.config))
+            molded.append(m.astype(np.uint8))
             windows.append(window)
         return np.stack(molded), np.stack(windows)
 
     def _apply_fn(self):
         if self._apply is None:
+            mean = jnp.asarray(self.config.MEAN_PIXEL, jnp.float32)
+
             @jax.jit
-            def run(params, images, anchors, windows):
+            def run(params, images_u8, anchors, windows):
+                images = images_u8.astype(jnp.float32) - mean
                 return self.module.apply(params, images, anchors, windows)
             self._apply = run
         return self._apply
@@ -360,13 +372,15 @@ class MaskRCNN:
         assert self.params is not None, "init_params()/load_weights() first"
         molded, windows = self.mold_inputs(images)
         H, W = molded.shape[1:3]
-        anchors = get_anchors(self.config, molded.shape[1:])
+        if self._anchors_dev is None:
+            self._anchors_dev = jnp.asarray(
+                get_anchors(self.config, molded.shape[1:]))
         # normalized windows
         scale = np.array([H - 1, W - 1, H - 1, W - 1], np.float32)
         shift = np.array([0, 0, 1, 1], np.float32)
         norm_windows = ((windows.astype(np.float32) - shift) / scale)
         out = self._apply_fn()(self.params, jnp.asarray(molded),
-                               jnp.asarray(anchors),
+                               self._anchors_dev,
                                jnp.asarray(norm_windows))
         detections = np.asarray(out["detections"])
         masks = np.asarray(out["masks"])
@@ -386,7 +400,7 @@ class MaskRCNN:
         boxes = detections[:N, :4]
         class_ids = detections[:N, 4].astype(np.int32)
         scores = detections[:N, 5]
-        masks = mrcnn_mask[np.arange(N), :, :, class_ids]
+        masks = mrcnn_mask[:N]  # class-selected on device
 
         # window in normalized coords of the molded image
         H, W = molded_shape[:2]

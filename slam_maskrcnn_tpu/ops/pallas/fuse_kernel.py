@@ -220,8 +220,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
             pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
             rect2.at[g], sems.at[1, g]).start()
 
-    # per-voxel linear index in a (2048, 1) column
-    vlin = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOX, 128), 0)[:, :1]
+    # per-voxel coordinates in the native (16, 128) tile layout
+    # (all VPU math runs here; earlier versions computed in a (2048, 1)
+    # column layout, which wastes 127/128 lanes per vreg — ~40 wasted
+    # vreg-ops per block dominated the kernel)
+    s_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_S, TILE_L), 0)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (TILE_S, TILE_L), 1)
+    vlin = s_i * TILE_L + l_i
     dxc = (vlin // (BY * BZ)).astype(jnp.float32)
     dyc = ((vlin // BZ) % BY).astype(jnp.float32)
     dzc = (vlin % BZ).astype(jnp.float32)
@@ -265,6 +270,12 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
         in_rect = (ul >= 0) & (ul < rect_w) & (vl >= 0) & (vl < rect_h)
         miss_ref[0, 0] += jnp.sum((in_img & ~in_rect).astype(jnp.int32))
         ok = in_img & in_rect
+        # column-layout copies for the one-hot gather (supported relayout:
+        # (16,128) -> (1,2048) reshape -> transpose; bool relayouts are not
+        # supported, so ok travels as i32)
+        vl_c = vl.reshape(1, BLOCK_VOX).T
+        ul_c = ul.reshape(1, BLOCK_VOX).T
+        ok_c = ok.astype(jnp.int32).reshape(1, BLOCK_VOX).T == 1
 
         v0a = pl.multiple_of(v0, 8)
         u0a = pl.multiple_of(u0, 128)
@@ -278,40 +289,46 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
         # row one-hot matmul (MXU) over both tables at once, then a column
         # one-hot select (VPU). `ok` folded into the one-hot so invalid
         # voxels read 0 (-> d_raw == 0 -> invalid, same as the XLA path).
-        row_oh = ((vl == rh_i) & ok).astype(jnp.float32)
-        # HIGHEST precision: the default TPU matmul truncates f32 inputs to
-        # bf16, destroying the exact packed integers (<2^24). With a 0/1
-        # one-hot left operand, full-precision passes keep every product
-        # exact. Two sequential matmuls + 128-lane-chunked column selects
-        # keep peak VMEM under the 16MB scoped limit.
-        def lookup(rect_ref):
-            t = jnp.dot(row_oh, rect_ref, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            acc = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
-            for c0 in range(0, rect_w, 128):
-                oh_c = (ul == cw_i[:, c0:c0 + 128] + 0).astype(jnp.float32)                     if False else (ul == (jax.lax.broadcasted_iota(
-                        jnp.int32, (BLOCK_VOX, 128), 1) + c0)).astype(
-                        jnp.float32)
-                acc = acc + jnp.sum(t[:, c0:c0 + 128] * oh_c, axis=1,
+        row_oh = ((vl_c == rh_i) & ok_c).astype(jnp.float32)
+        # Exactness vs MXU rate: a default bf16 matmul would truncate the
+        # packed f32 integers (<2^24), f32 Precision.HIGHEST costs ~6 bf16
+        # passes. Instead decompose both tables into three 8-bit planes —
+        # plane values <= 255 are bf16-exact, the one-hot left operand is
+        # 0/1, and each output sums exactly one product — so a single-pass
+        # bf16 matmul over the 6 planes is bit-exact at full MXU rate. The
+        # planes recombine before the column select (sums of exact ints).
+        both = jnp.concatenate([rect1[g], rect2[g]], axis=1)
+        p2 = jnp.floor(both / 65536.0)
+        r16 = both - p2 * 65536.0
+        p1 = jnp.floor(r16 / 256.0)
+        p0 = r16 - p1 * 256.0
+        planes = jnp.concatenate([p0, p1, p2], axis=1).astype(jnp.bfloat16)
+        t = jnp.dot(row_oh.astype(jnp.bfloat16), planes,
+                    preferred_element_type=jnp.float32)
+        w2 = 2 * rect_w
+        t12 = t[:, :w2] + 256.0 * t[:, w2:2 * w2] + 65536.0 * t[:, 2 * w2:]
+
+        val1c = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
+        val2c = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
+        for c0 in range(0, rect_w, 128):
+            oh_c = (ul_c == (jax.lax.broadcasted_iota(
+                jnp.int32, (BLOCK_VOX, 128), 1) + c0)).astype(jnp.float32)
+            val1c = val1c + jnp.sum(t12[:, c0:c0 + 128] * oh_c, axis=1,
                                     keepdims=True)
-            return acc
+            val2c = val2c + jnp.sum(
+                t12[:, rect_w + c0:rect_w + c0 + 128] * oh_c, axis=1,
+                keepdims=True)
 
-        val1c = lookup(rect1[g])
-        val2c = lookup(rect2[g])
-
-        d_raw = jnp.mod(val1c, 65536.0)            # uint16 depth, exact
-        m_id = jnp.floor(val1c / 65536.0)          # mask id
-        diff_m = d_raw / depth_scale - pz
-        valid_c = ok & (d_raw > 0) & (diff_m > -mu)
-        dn_c = jnp.minimum(diff_m, mu) / mu
-
-        # move per-voxel columns into the (16, 128) tile layout
+        # back to the (16, 128) tile layout for the update math
+        val1 = val1c.reshape(TILE_S, TILE_L)
         val2 = val2c.reshape(TILE_S, TILE_L)
-        dn = dn_c.reshape(TILE_S, TILE_L)
-        valid = valid_c.reshape(TILE_S, TILE_L)
-        gate = (valid_c & (dn_c < color_diff_gate)).reshape(TILE_S, TILE_L)
-        m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1).reshape(
-            TILE_S, TILE_L)
+        d_raw = jnp.mod(val1, 65536.0)             # uint16 depth, exact
+        m_id = jnp.floor(val1 / 65536.0)           # mask id
+        diff_m = d_raw / depth_scale - pz
+        valid = ok & (d_raw > 0) & (diff_m > -mu)
+        dn = jnp.minimum(diff_m, mu) / mu
+        gate = valid & (dn < color_diff_gate)
+        m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
 
         wt = wt_ref[g].astype(jnp.float32)
         diff_out[g] = jnp.where(valid,

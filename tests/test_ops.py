@@ -129,3 +129,17 @@ def test_pyramid_roi_align_selects_level():
     np.testing.assert_allclose(np.asarray(out[0]), w0[0], rtol=1e-4, atol=1e-5)
     w1 = np.asarray(crop_and_resize(feats[3], jnp.asarray(boxes[1:]), (7, 7)))
     np.testing.assert_allclose(np.asarray(out[1]), w1[0], rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_nms_matches_reference():
+    from slam_maskrcnn_tpu.ops.pallas.nms_kernel import non_max_suppression_pallas
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        boxes = _rand_boxes(rng, 100)
+        scores = rng.uniform(size=100).astype(np.float32)
+        idx, valid = non_max_suppression_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), 20, 0.4)
+        got = np.asarray(idx)[np.asarray(valid)]
+        want = nms_ref(boxes, scores, 0.4, 20)
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")

@@ -168,3 +168,46 @@ def test_dataset_audit(tmp_path):
     r = audit(str(tmp_path))
     assert r["rgb"]["total"] == 3
     assert r["rgb"]["per_second"][1311871923] == 2
+
+
+def test_live_pipeline_synthetic():
+    """Full stage1+stage2 streaming: random-weight model (detections are
+    junk, pipeline mechanics are what's tested)."""
+    import jax.numpy as jnp
+
+    from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
+    from slam_maskrcnn_tpu.fusion import FusionConfig
+    from slam_maskrcnn_tpu.fusion.state import make_intrinsic
+    from slam_maskrcnn_tpu.models import Config, MaskRCNN
+    from slam_maskrcnn_tpu.samples.live_pipeline import LivePipeline
+
+    class SmallCfg(Config):
+        NAME = "live_test"
+        BACKBONE = "resnet50"
+        IMAGE_MIN_DIM = 128
+        IMAGE_MAX_DIM = 128
+        NUM_CLASSES = 4
+        RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+        POST_NMS_ROIS_INFERENCE = 20
+        PRE_NMS_LIMIT = 50
+        DETECTION_MAX_INSTANCES = 5
+        IMAGES_PER_GPU = 1
+        GPU_COUNT = 1
+        DETECTION_MIN_CONFIDENCE = 0.0
+        COMPUTE_DTYPE = "float32"
+
+    model = MaskRCNN("inference", SmallCfg())
+    model.init_params(0)
+    H, W = 96, 128
+    K = make_intrinsic(110.0, 110.0, W / 2, H / 2)
+    frames = make_sequence(default_scene(), K, H, W, n_frames=3)
+    seq = [dict(depth=f["depth"], color=f["color"], extrinsic=f["extrinsic"],
+                mean_depth=f["mean_depth"]) for f in frames]
+    pipe = LivePipeline(model, K,
+                        FusionConfig(vol_dim=(32,) * 3,
+                                     hist_dtype=jnp.uint16),
+                        backend="xla", use_depth_filter=True)
+    fps = pipe.run(seq, verbose=False)
+    assert pipe.frames_done == 3
+    assert fps > 0
+    assert int(pipe.fusion.state.n_obs) == 2
