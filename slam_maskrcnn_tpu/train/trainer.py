@@ -140,6 +140,17 @@ class Trainer:
         step_fn, opt = self._make_step(lr, layers_regex)
         opt_state = opt.init(self.model.params["params"])
 
+        # data parallelism over a device mesh when GPU_COUNT > 1 (the
+        # reference's ParallelModel trigger, model.py:2047-2050): batch
+        # sharded on its leading axis, params/optimizer replicated — XLA
+        # all-reduces the gradients over the mesh
+        mesh = None
+        if cfg.GPU_COUNT > 1:
+            from slam_maskrcnn_tpu.parallel import make_mesh, shard_params
+            mesh = make_mesh(cfg.GPU_COUNT)
+            self.model.params = shard_params(self.model.params, mesh)
+            opt_state = shard_params(opt_state, mesh)
+
         anchors = jnp.asarray(get_anchors(cfg, cfg.IMAGE_SHAPE))
         gen = data_generator(train_dataset, cfg, shuffle=True,
                              augment=augment)
@@ -153,6 +164,9 @@ class Trainer:
                 batch = next(gen)
                 rng, sub = jax.random.split(rng)
                 jb = {k: jnp.asarray(v) for k, v in batch.items()}
+                if mesh is not None:
+                    from slam_maskrcnn_tpu.parallel import shard_batch
+                    jb = shard_batch(jb, mesh)
                 jb["anchors"] = anchors
                 variables, opt_state, loss, parts = step_fn(
                     variables, opt_state, sub, jb)

@@ -93,3 +93,117 @@ def display_instances(image, boxes, masks, class_ids, class_names,
         ax.set_title(title)
         ax.axis("off")
     return masked
+
+
+def display_images(images, titles=None, cols=4, cmap=None, save_path=None):
+    """Grid of images (visualize.py:40-57)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    titles = titles or [""] * len(images)
+    rows = len(images) // cols + (len(images) % cols > 0)
+    fig = plt.figure(figsize=(14, 14 * rows // max(cols, 1)))
+    for i, (image, title) in enumerate(zip(images, titles)):
+        ax = fig.add_subplot(rows, cols, i + 1)
+        ax.set_title(title, fontsize=9)
+        ax.axis("off")
+        ax.imshow(image, cmap=cmap)
+    if save_path:
+        fig.savefig(save_path)
+    return fig
+
+
+def draw_box(image, box, color):
+    """2px box outline drawn in-place on a numpy image
+    (visualize.py:207-219)."""
+    y1, x1, y2, x2 = box.astype(int) if hasattr(box, "astype") else box
+    image[y1:y1 + 2, x1:x2] = color
+    image[y2:y2 + 2, x1:x2] = color
+    image[y1:y2, x1:x1 + 2] = color
+    image[y1:y2, x2:x2 + 2] = color
+    return image
+
+
+def display_top_masks(image, mask, class_ids, class_names, limit=4,
+                      save_path=None):
+    """Most-frequent classes' union masks (visualize.py:222-246)."""
+    to_display = [image]
+    titles = ["H x W={}x{}".format(image.shape[0], image.shape[1])]
+    unique_ids, counts = np.unique(class_ids, return_counts=True)
+    order = np.argsort(counts)[::-1]
+    top_ids = [unique_ids[o] for o in order if unique_ids[o] > 0][:limit]
+    for cid in top_ids + [-1] * (limit - len(top_ids)):
+        if cid == -1:
+            to_display.append(np.zeros_like(image[:, :, 0]))
+            titles.append("-")
+            continue
+        sel = np.where(class_ids == cid)[0]
+        m = mask[:, :, sel]
+        # instance-coded union
+        coded = np.zeros(image.shape[:2])
+        for k, i in enumerate(sel):
+            coded[mask[:, :, i] > 0] = k + 1
+        to_display.append(coded)
+        titles.append(class_names[cid] if cid < len(class_names) else cid)
+    return display_images(to_display, titles=titles, cols=limit + 1,
+                          cmap="Blues_r", save_path=save_path)
+
+
+def plot_precision_recall(AP, precisions, recalls, save_path=None):
+    """PR curve (visualize.py:249-262)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(1)
+    ax.set_title("Precision-Recall. AP@50 = {:.3f}".format(AP))
+    ax.set_ylim(0, 1.1)
+    ax.set_xlim(0, 1.1)
+    ax.plot(recalls, precisions)
+    if save_path:
+        fig.savefig(save_path)
+    return fig
+
+
+def plot_overlaps(gt_class_ids, pred_class_ids, pred_scores, overlaps,
+                  class_names, threshold=0.5, save_path=None):
+    """Detection-vs-GT IoU grid (visualize.py:265-301)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(12, 10))
+    plt.imshow(overlaps, interpolation="nearest", cmap=plt.cm.Blues)
+    plt.yticks(np.arange(len(pred_class_ids)),
+               ["{} ({:.2f})".format(
+                   class_names[int(i)] if int(i) < len(class_names) else i,
+                   pred_scores[k])
+                for k, i in enumerate(pred_class_ids)])
+    plt.xticks(np.arange(len(gt_class_ids)),
+               [class_names[int(i)] if int(i) < len(class_names) else i
+                for i in gt_class_ids], rotation=90)
+    for i in range(overlaps.shape[0]):
+        for j in range(overlaps.shape[1]):
+            text = ""
+            if overlaps[i, j] > threshold:
+                text = "match" if gt_class_ids[j] == pred_class_ids[i] \
+                    else "wrong"
+            plt.text(j, i, "{}\n{:.3f}".format(text, overlaps[i, j]),
+                     ha="center", va="center", fontsize=9)
+    plt.xlabel("Ground Truth")
+    plt.ylabel("Predictions")
+    if save_path:
+        fig.savefig(save_path)
+    return fig
+
+
+def display_weight_stats(model):
+    """Weight table rows (the reference's display_weight_stats,
+    visualize.py:455-479) via models.inspect.weight_stats."""
+    from slam_maskrcnn_tpu.models.inspect import weight_stats
+
+    return weight_stats(model.params)

@@ -211,3 +211,51 @@ def test_live_pipeline_synthetic():
     assert pipe.frames_done == 3
     assert fps > 0
     assert int(pipe.fusion.state.n_obs) == 2
+
+
+def test_inspect_and_viz_extras():
+    import jax.numpy as jnp
+
+    from slam_maskrcnn_tpu.models import Config, MaskRCNN
+    from slam_maskrcnn_tpu.models.inspect import (find_suspicious_weights,
+                                                  run_graph, weight_stats)
+    from slam_maskrcnn_tpu.viz.visualize import (display_top_masks, draw_box,
+                                                 plot_precision_recall)
+
+    class TinyCfg(Config):
+        NAME = "inspect_test"
+        BACKBONE = "resnet50"
+        IMAGE_MIN_DIM = 128
+        IMAGE_MAX_DIM = 128
+        NUM_CLASSES = 4
+        RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+        POST_NMS_ROIS_INFERENCE = 20
+        PRE_NMS_LIMIT = 50
+        DETECTION_MAX_INSTANCES = 5
+        IMAGES_PER_GPU = 1
+        GPU_COUNT = 1
+        DETECTION_MIN_CONFIDENCE = 0.0
+        COMPUTE_DTYPE = "float32"
+
+    model = MaskRCNN("inference", TinyCfg())
+    model.init_params(0)
+    rows = weight_stats(model.params, pattern="conv1")
+    assert rows and all("shape" in r for r in rows)
+    assert isinstance(find_suspicious_weights(model.params), list)
+
+    img = np.random.default_rng(0).integers(0, 255, (100, 120, 3),
+                                            dtype=np.uint8)
+    acts = run_graph(model, [img], filter_fn=lambda k: "conv1" in k
+                     or k.startswith("out/"))
+    assert any(k.startswith("out/") for k in acts)
+
+    # viz extras
+    canvas = np.zeros((32, 32, 3), np.uint8)
+    draw_box(canvas, np.array([4, 4, 20, 20]), (255, 0, 0))
+    assert canvas.max() == 255
+    plot_precision_recall(0.5, np.array([1.0, 0.5]), np.array([0.0, 1.0]))
+    mask = np.zeros((32, 32, 2), bool)
+    mask[4:10, 4:10, 0] = True
+    mask[12:20, 12:20, 1] = True
+    display_top_masks(canvas, mask, np.array([1, 2]),
+                      ["BG", "a", "b"], limit=2)

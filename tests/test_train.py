@@ -89,3 +89,28 @@ def test_train_step_reduces_loss():
     assert len(hist) == 2
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0] * 1.5  # finite and not exploding
+
+
+def test_train_step_data_parallel_mesh():
+    """GPU_COUNT>1 engages the device mesh (8 virtual CPU devices)."""
+    import jax
+
+    class DPConfig(TrainConfig):
+        NAME = "shapes_dp_test"
+        GPU_COUNT = 4
+        IMAGES_PER_GPU = 1
+
+    cfg = DPConfig()
+    assert cfg.BATCH_SIZE == 4
+    ds = ShapesDataset()
+    ds.load_shapes(8, 128, 128, seed=4)
+    ds.prepare()
+    model = MaskRCNN("training", cfg)
+    model.init_params(0)
+    trainer = Trainer(model, cfg)
+    hist = trainer.train(ds, learning_rate=0.001, epochs=1, layers="heads",
+                         steps_per_epoch=2, verbose=0, checkpoint=False)
+    assert np.isfinite(hist).all()
+    # params ended up replicated across the mesh
+    leaf = jax.tree.leaves(model.params)[0]
+    assert len(leaf.sharding.device_set) == 4
