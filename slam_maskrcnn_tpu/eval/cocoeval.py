@@ -1,0 +1,198 @@
+"""COCO-protocol detection evaluation (COCOeval-lite).
+
+A compact, dependency-free implementation of the pycocotools COCOeval
+protocol the reference runs (``Mask_RCNN/samples/coco/coco.py:342-391`` via
+the vendored ``pycocotools/cocoeval.py``): per-class greedy matching at IoU
+thresholds 0.5:0.05:0.95, area-range and maxDets breakdowns, the standard
+12-line summary. Works on in-memory ground truth + results (boxes or RLE
+masks via eval/rle.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from slam_maskrcnn_tpu.eval.rle import rle_iou
+
+AREA_RANGES = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+
+
+def _box_iou(d, g, iscrowd):
+    y1 = np.maximum(d[:, None, 0], g[None, :, 0])
+    x1 = np.maximum(d[:, None, 1], g[None, :, 1])
+    y2 = np.minimum(d[:, None, 2], g[None, :, 2])
+    x2 = np.minimum(d[:, None, 3], g[None, :, 3])
+    inter = np.maximum(y2 - y1, 0) * np.maximum(x2 - x1, 0)
+    ad = (d[:, 2] - d[:, 0]) * (d[:, 3] - d[:, 1])
+    ag = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+    union = ad[:, None] + ag[None, :] - inter
+    union = np.where(np.asarray(iscrowd)[None, :], ad[:, None], union)
+    return inter / np.maximum(union, 1e-10)
+
+
+class COCOevalLite:
+    """Evaluate detections against ground truth.
+
+    gts: list of dicts per image:
+      {image_id, class_id, bbox [y1,x1,y2,x2] or rle, area, iscrowd}
+    dts: same + score.
+    iou_type: "bbox" | "segm".
+    """
+
+    def __init__(self, gts, dts, iou_type="bbox",
+                 iou_thrs=None, max_dets=(1, 10, 100)):
+        self.iou_type = iou_type
+        self.iou_thrs = (np.arange(0.5, 1.0, 0.05)
+                         if iou_thrs is None else np.asarray(iou_thrs))
+        self.max_dets = max_dets
+        self.recall_thrs = np.linspace(0, 1, 101)
+        self.gts = gts
+        self.dts = dts
+        self.img_ids = sorted({g["image_id"] for g in gts}
+                              | {d["image_id"] for d in dts})
+        self.cat_ids = sorted({g["class_id"] for g in gts})
+        self.stats = None
+
+    def _iou(self, dts, gts):
+        if not dts or not gts:
+            return np.zeros((len(dts), len(gts)))
+        crowd = [bool(g.get("iscrowd", 0)) for g in gts]
+        if self.iou_type == "segm":
+            return rle_iou([d["rle"] for d in dts], [g["rle"] for g in gts],
+                           iscrowd=crowd)
+        return _box_iou(np.asarray([d["bbox"] for d in dts], np.float64),
+                        np.asarray([g["bbox"] for g in gts], np.float64),
+                        crowd)
+
+    def _evaluate_img(self, img_id, cat_id, area_rng, max_det):
+        gts = [g for g in self.gts
+               if g["image_id"] == img_id and g["class_id"] == cat_id]
+        dts = [d for d in self.dts
+               if d["image_id"] == img_id and d["class_id"] == cat_id]
+        if not gts and not dts:
+            return None
+        for g in gts:
+            g["_ignore"] = (g.get("iscrowd", 0)
+                            or g["area"] < area_rng[0]
+                            or g["area"] > area_rng[1])
+        gts = sorted(gts, key=lambda g: g["_ignore"])
+        dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
+        ious = self._iou(dts, gts)
+
+        T = len(self.iou_thrs)
+        gt_m = np.zeros((T, len(gts)))
+        dt_m = np.zeros((T, len(dts)))
+        dt_ig = np.zeros((T, len(dts)))
+        g_ig = np.array([g["_ignore"] for g in gts])
+        for t, thr in enumerate(self.iou_thrs):
+            for di in range(len(dts)):
+                best = min(thr, 1 - 1e-10)
+                m = -1
+                for gi in range(len(gts)):
+                    if gt_m[t, gi] > 0 and not gts[gi].get("iscrowd", 0):
+                        continue
+                    if m > -1 and not g_ig[m] and g_ig[gi]:
+                        break
+                    if ious[di, gi] < best:
+                        continue
+                    best = ious[di, gi]
+                    m = gi
+                if m == -1:
+                    continue
+                dt_ig[t, di] = g_ig[m]
+                dt_m[t, di] = 1
+                gt_m[t, m] = 1
+        # unmatched dets outside the area range are ignored
+        a = np.array([(d["area"] < area_rng[0] or d["area"] > area_rng[1])
+                      for d in dts], bool) if dts else np.zeros((0,), bool)
+        dt_ig = np.logical_or(dt_ig.astype(bool),
+                              (dt_m == 0) & a[None, :])
+        return dict(dt_scores=[d["score"] for d in dts], dt_m=dt_m,
+                    dt_ig=dt_ig, n_gt=int((~g_ig).sum()))
+
+    def evaluate(self):
+        """Accumulate AP/AR over classes, IoU thresholds, areas, maxDets."""
+        results = {}
+        for area_name, area_rng in AREA_RANGES.items():
+            for max_det in self.max_dets:
+                ap_list, ar_list = [], []
+                per_t_ap = np.full((len(self.iou_thrs),), np.nan)
+                ap_per_t_acc = [[] for _ in self.iou_thrs]
+                for cat in self.cat_ids:
+                    evs = [self._evaluate_img(i, cat, area_rng, max_det)
+                           for i in self.img_ids]
+                    evs = [e for e in evs if e is not None]
+                    if not evs:
+                        continue
+                    scores = np.concatenate(
+                        [np.asarray(e["dt_scores"]) for e in evs]) \
+                        if any(len(e["dt_scores"]) for e in evs) else np.zeros(0)
+                    order = np.argsort(-scores, kind="mergesort")
+                    n_gt = sum(e["n_gt"] for e in evs)
+                    if n_gt == 0:
+                        continue
+                    T = len(self.iou_thrs)
+                    aps, ars = [], []
+                    for t in range(T):
+                        dm = np.concatenate([e["dt_m"][t] for e in evs])[order]
+                        dig = np.concatenate(
+                            [e["dt_ig"][t] for e in evs])[order]
+                        keep = ~dig.astype(bool)
+                        tp = np.cumsum(dm[keep] > 0)
+                        fp = np.cumsum(dm[keep] == 0)
+                        rc = tp / n_gt
+                        pr = tp / np.maximum(tp + fp, 1e-10)
+                        # precision envelope + 101-point interpolation
+                        for i in range(len(pr) - 1, 0, -1):
+                            pr[i - 1] = max(pr[i - 1], pr[i])
+                        inds = np.searchsorted(rc, self.recall_thrs,
+                                               side="left")
+                        q = np.array([pr[i] if i < len(pr) else 0.0
+                                      for i in inds])
+                        aps.append(q.mean())
+                        ars.append(rc[-1] if len(rc) else 0.0)
+                        ap_per_t_acc[t].append(q.mean())
+                    ap_list.append(np.mean(aps))
+                    ar_list.append(np.mean(ars))
+                results[(area_name, max_det)] = dict(
+                    ap=float(np.mean(ap_list)) if ap_list else float("nan"),
+                    ar=float(np.mean(ar_list)) if ar_list else float("nan"),
+                    ap_per_thr=[float(np.mean(a)) if a else float("nan")
+                                for a in ap_per_t_acc])
+        self.stats = results
+        return results
+
+    def summarize(self, out=print):
+        """The standard 12-line COCO summary."""
+        if self.stats is None:
+            self.evaluate()
+        r = self.stats
+        md = max(self.max_dets)
+        lines = [
+            ("Average Precision  (AP) @[ IoU=0.50:0.95 | area=   all | "
+             f"maxDets={md:3d} ] = {r[('all', md)]['ap']:.3f}"),
+            ("Average Precision  (AP) @[ IoU=0.50      | area=   all | "
+             f"maxDets={md:3d} ] = {r[('all', md)]['ap_per_thr'][0]:.3f}"),
+            ("Average Precision  (AP) @[ IoU=0.75      | area=   all | "
+             f"maxDets={md:3d} ] = {r[('all', md)]['ap_per_thr'][5]:.3f}"),
+        ]
+        for a in ("small", "medium", "large"):
+            lines.append(
+                f"Average Precision  (AP) @[ IoU=0.50:0.95 | area={a:>6s} | "
+                f"maxDets={md:3d} ] = {r[(a, md)]['ap']:.3f}")
+        for m in self.max_dets:
+            lines.append(
+                "Average Recall     (AR) @[ IoU=0.50:0.95 | area=   all | "
+                f"maxDets={m:3d} ] = {r[('all', m)]['ar']:.3f}")
+        for a in ("small", "medium", "large"):
+            lines.append(
+                f"Average Recall     (AR) @[ IoU=0.50:0.95 | area={a:>6s} | "
+                f"maxDets={md:3d} ] = {r[(a, md)]['ar']:.3f}")
+        for ln in lines:
+            out(ln)
+        return lines

@@ -108,3 +108,52 @@ def test_compute_recall():
     pred = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], np.float32)
     recall, pos = compute_recall(pred, gt, 0.5)
     assert recall == 0.5
+
+
+def test_cocoeval_lite_perfect_and_degraded():
+    from slam_maskrcnn_tpu.eval.cocoeval import COCOevalLite
+
+    # two images, two classes; perfect detections -> AP = 1
+    gts, dts = [], []
+    rng = np.random.default_rng(0)
+    for img in (1, 2):
+        for k in range(3):
+            y1, x1 = rng.uniform(0, 50, 2)
+            h, w = rng.uniform(20, 60, 2)
+            box = [y1, x1, y1 + h, x1 + w]
+            cls = 1 + k % 2
+            gts.append(dict(image_id=img, class_id=cls, bbox=box,
+                            area=h * w, iscrowd=0))
+            dts.append(dict(image_id=img, class_id=cls, bbox=box,
+                            area=h * w, score=0.9 - 0.1 * k))
+    ev = COCOevalLite(gts, dts, iou_type="bbox")
+    ev.evaluate()
+    assert abs(ev.stats[("all", 100)]["ap"] - 1.0) < 1e-6
+    lines = ev.summarize(out=lambda s: None)
+    assert len(lines) == 12
+
+    # drop half the detections -> AP decreases
+    ev2 = COCOevalLite(gts, dts[::2], iou_type="bbox")
+    ev2.evaluate()
+    assert ev2.stats[("all", 100)]["ap"] < 1.0
+
+
+def test_cocoeval_lite_segm():
+    from slam_maskrcnn_tpu.eval.cocoeval import COCOevalLite
+    from slam_maskrcnn_tpu.eval.rle import rle_encode
+
+    m1 = np.zeros((40, 40), np.uint8)
+    m1[5:20, 5:20] = 1
+    m2 = np.zeros((40, 40), np.uint8)
+    m2[22:35, 22:35] = 1
+    gts = [dict(image_id=1, class_id=1, rle=rle_encode(m1),
+                area=float(m1.sum()), iscrowd=0),
+           dict(image_id=1, class_id=1, rle=rle_encode(m2),
+                area=float(m2.sum()), iscrowd=0)]
+    dts = [dict(image_id=1, class_id=1, rle=rle_encode(m1),
+                area=float(m1.sum()), score=0.9),
+           dict(image_id=1, class_id=1, rle=rle_encode(m2),
+                area=float(m2.sum()), score=0.8)]
+    ev = COCOevalLite(gts, dts, iou_type="segm")
+    ev.evaluate()
+    assert abs(ev.stats[("all", 100)]["ap"] - 1.0) < 1e-6
