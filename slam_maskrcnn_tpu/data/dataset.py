@@ -95,7 +95,7 @@ class Dataset:
         return ""
 
 
-def resize_mask(mask, scale, padding):
+def resize_mask(mask, scale, padding, crop=None):
     import cv2
     if scale != 1 and mask.shape[-1] > 0:
         h, w = mask.shape[:2]
@@ -104,7 +104,10 @@ def resize_mask(mask, scale, padding):
                           interpolation=cv2.INTER_NEAREST).astype(bool)
         if mask.ndim == 2:
             mask = mask[:, :, None]
-    return np.pad(mask, padding[:2] + [(0, 0)], mode="constant")
+    if crop is not None:
+        y, x, h, w = crop
+        return mask[y:y + h, x:x + w]
+    return np.pad(mask, list(padding[:2]) + [(0, 0)], mode="constant")
 
 
 def minimize_mask(bbox, mask, mini_shape):
@@ -144,10 +147,15 @@ def load_image_gt(dataset: Dataset, config, image_id, augment=False):
     image = dataset.load_image(image_id)
     mask, class_ids = dataset.load_mask(image_id)
     original_shape = image.shape
-    image, window, scale, padding = resize_image(
+    out = resize_image(
         image, config.IMAGE_MIN_DIM, config.IMAGE_MAX_DIM,
         config.IMAGE_MIN_SCALE, config.IMAGE_RESIZE_MODE)
-    mask = resize_mask(mask, scale, padding)
+    crop = None
+    if len(out) == 5:
+        image, window, scale, padding, crop = out
+    else:
+        image, window, scale, padding = out
+    mask = resize_mask(mask, scale, padding, crop)
 
     if augment and np.random.rand() < 0.5:
         image = np.fliplr(image)
@@ -258,3 +266,27 @@ def data_generator(dataset: Dataset, config, shuffle=True, augment=False,
             error_count += 1
             if error_count > 5:
                 raise
+
+
+def download_trained_weights(coco_model_path: str,
+                             url: str = ("https://github.com/matterport/"
+                                         "Mask_RCNN/releases/download/"
+                                         "v2.0/mask_rcnn_coco.h5"),
+                             verbose: bool = True) -> str:
+    """Download pretrained COCO weights (= utils.download_trained_weights,
+    Mask_RCNN/mrcnn/utils.py:845-855). Raises a clear error in offline
+    environments."""
+    import os
+    import urllib.request
+
+    if os.path.exists(coco_model_path):
+        return coco_model_path
+    if verbose:
+        print("Downloading pretrained model to", coco_model_path)
+    try:
+        urllib.request.urlretrieve(url, coco_model_path)
+    except Exception as e:  # zero-egress environments
+        raise RuntimeError(
+            f"cannot download {url} ({e}); place mask_rcnn_coco.h5 at "
+            f"{coco_model_path} manually") from e
+    return coco_model_path

@@ -234,6 +234,15 @@ def resize_image(image, min_dim=None, max_dim=None, min_scale=None,
         padding = [(0, bottom_pad), (0, right_pad), (0, 0)]
         image = np.pad(image, padding, mode="constant")
         window = (0, 0, h2, w2)
+    elif mode == "crop":
+        # random min_dim crop (training only), utils.py:475-487
+        h2, w2 = image.shape[:2]
+        y = np.random.randint(0, (h2 - min_dim) + 1) if h2 > min_dim else 0
+        x = np.random.randint(0, (w2 - min_dim) + 1) if w2 > min_dim else 0
+        image = image[y:y + min_dim, x:x + min_dim]
+        window = (0, 0, min_dim, min_dim)
+        padding = [(0, 0), (0, 0), (0, 0)]
+        return image, window, scale, padding, (y, x, min_dim, min_dim)
     else:
         raise ValueError(f"mode {mode} not supported")
     return image, window, scale, padding
@@ -324,6 +333,18 @@ class MaskRCNN:
             from slam_maskrcnn_tpu.train.checkpoint import restore_params
             self.params = restore_params(filepath)
         return self
+
+    def train(self, train_dataset, val_dataset=None, learning_rate=None,
+              epochs=1, layers="all", augment=False, **kw):
+        """API-parity delegate to train.Trainer (reference
+        model.train, model.py:2244-2330)."""
+        from slam_maskrcnn_tpu.train import Trainer
+
+        if not hasattr(self, "_trainer"):
+            self._trainer = Trainer(self, self.config)
+        return self._trainer.train(train_dataset, val_dataset,
+                                   learning_rate, epochs, layers,
+                                   augment, **kw)
 
     def find_last(self) -> str:
         """Newest checkpoint in model_dir (``model.py:2054-2077``)."""
