@@ -25,18 +25,17 @@ def main():
     from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
     from slam_maskrcnn_tpu.fusion import FusionConfig
     from slam_maskrcnn_tpu.fusion.pipeline import fusion_step_blocked
-    from slam_maskrcnn_tpu.fusion.state import (init_from_first_frame,
-                                                make_intrinsic)
-    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import to_blocked
+    from slam_maskrcnn_tpu.fusion.state import make_intrinsic
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+        init_blocked_from_first_frame)
 
     H, W = 480, 640
     K4 = make_intrinsic(520.9, 521.0, 325.1, 249.7)  # kernel.cpp:39
     cfg = FusionConfig(vol_dim=(256, 256, 256), hist_dtype=jnp.uint16)
 
     frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
-    state = init_from_first_frame(cfg, frames[0]["depth"], K4,
-                                  frames[0]["mean_depth"])
-    state = to_blocked(state, cfg)
+    state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
+                                          frames[0]["mean_depth"])
     E0i = np.linalg.inv(frames[0]["extrinsic"]).astype(np.float32)
     staged = []
     for fr in frames[1:]:

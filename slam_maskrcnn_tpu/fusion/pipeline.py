@@ -127,11 +127,14 @@ class SemanticFusion:
             mean_depth = float(
                 (depth[valid].astype(np.float64) / self.cfg.depth_scale).mean())
         if self.state is None:
-            self.state = init_from_first_frame(self.cfg, np.asarray(depth),
-                                               self.intrinsic, mean_depth)
             if self.backend == "pallas":
-                from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import to_blocked
-                self.state = to_blocked(self.state, self.cfg)
+                from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+                    init_blocked_from_first_frame)
+                self.state = init_blocked_from_first_frame(
+                    self.cfg, np.asarray(depth), self.intrinsic, mean_depth)
+            else:
+                self.state = init_from_first_frame(
+                    self.cfg, np.asarray(depth), self.intrinsic, mean_depth)
             self.init_extrinsic_inv = np.linalg.inv(
                 np.asarray(extrinsic, np.float64)).astype(np.float32)
             self.mean_depth = mean_depth

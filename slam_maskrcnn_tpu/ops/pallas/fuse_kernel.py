@@ -99,6 +99,37 @@ def to_blocked(state: TSDFState, cfg: FusionConfig) -> BlockedTSDFState:
         num_objs=state.num_objs, nbx=nbx, nby=nby, nbz=nbz)
 
 
+def init_blocked(cfg: FusionConfig, vol_start, vol_end,
+                 num_objs: int = 0) -> BlockedTSDFState:
+    """Allocate an empty blocked volume directly — converting a dense
+    512^3 state would materialize a ~34 GB transpose intermediate."""
+    dim = cfg.vol_dim
+    nbx, nby, nbz = _block_dims(dim)
+    NB = nbx * nby * nbz
+    K = cfg.max_objects
+    vol_start = jnp.asarray(vol_start, jnp.float32)
+    vol_end = jnp.asarray(vol_end, jnp.float32)
+    voxel = (vol_end - vol_start) / (jnp.asarray(dim, jnp.float32) - 1.0)
+    mu = cfg.mu_factor * voxel[0]
+    return BlockedTSDFState(
+        diff=jnp.full((NB, TILE_S, TILE_L), mu, jnp.float32),
+        colorpk=jnp.zeros((NB, TILE_S, TILE_L), jnp.float32),
+        weight=jnp.zeros((NB, TILE_S, TILE_L), jnp.int32),
+        hist=jnp.zeros((NB, TILE_S, TILE_L * K), jnp.uint16),
+        vol_start=vol_start, vol_end=vol_end, voxel=voxel, mu=mu,
+        n_obs=jnp.zeros((), jnp.int32),
+        num_objs=jnp.asarray(num_objs, jnp.int32),
+        nbx=nbx, nby=nby, nbz=nbz)
+
+
+def init_blocked_from_first_frame(cfg: FusionConfig, depth, intrinsic,
+                                  mean_depth, num_objs: int = 0):
+    from slam_maskrcnn_tpu.fusion.state import volume_bbox_from_depth
+
+    vs, ve = volume_bbox_from_depth(depth, intrinsic, mean_depth)
+    return init_blocked(cfg, vs, ve, num_objs=num_objs)
+
+
 def to_dense(b: BlockedTSDFState, cfg: FusionConfig) -> TSDFState:
     """Blocked -> dense TSDFState (for tests/rendering/export)."""
     nbx, nby, nbz = b.nbx, b.nby, b.nbz
@@ -302,9 +333,15 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
         r16 = both - p2 * 65536.0
         p1 = jnp.floor(r16 / 256.0)
         p0 = r16 - p1 * 256.0
-        planes = jnp.concatenate([p0, p1, p2], axis=1).astype(jnp.bfloat16)
-        t = jnp.dot(row_oh.astype(jnp.bfloat16), planes,
-                    preferred_element_type=jnp.float32)
+        # int8 MXU (2-4x the bf16 rate on v5e): plane bytes shift to
+        # [-128, 127] to fit int8; one-term one-hot sums are exact in
+        # int32, and the +128 offset is restored per voxel afterwards.
+        planes = (jnp.concatenate([p0, p1, p2], axis=1)
+                  - 128.0).astype(jnp.int8)
+        ti = jnp.dot(row_oh.astype(jnp.int8), planes,
+                     preferred_element_type=jnp.int32)
+        ok_i = ok_c.astype(jnp.int32) * 128
+        t = (ti + ok_i).astype(jnp.float32)
         w2 = 2 * rect_w
         t12 = t[:, :w2] + 256.0 * t[:, w2:2 * w2] + 65536.0 * t[:, 2 * w2:]
 

@@ -69,3 +69,20 @@ def test_pallas_fuse_matches_xla():
                       atol=1e-5)
     assert bad.mean() < 5e-4, f"{bad.sum()} voxel diffs mismatch"
     assert int(dense.n_obs) == int(state.n_obs)
+
+
+def test_init_blocked_matches_conversion():
+    from slam_maskrcnn_tpu.fusion.state import init_state
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import init_blocked
+
+    dense = init_state(CFG, [-0.5, -0.5, 0.5], [0.5, 0.5, 1.5])
+    via_conv = to_blocked(dense, CFG)
+    direct = init_blocked(CFG, [-0.5, -0.5, 0.5], [0.5, 0.5, 1.5])
+    np.testing.assert_array_equal(np.asarray(direct.diff),
+                                  np.asarray(via_conv.diff))
+    np.testing.assert_array_equal(np.asarray(direct.hist),
+                                  np.asarray(via_conv.hist))
+    np.testing.assert_allclose(np.asarray(direct.voxel),
+                               np.asarray(via_conv.voxel))
+    assert (direct.nbx, direct.nby, direct.nbz) == (
+        via_conv.nbx, via_conv.nby, via_conv.nbz)
