@@ -62,7 +62,7 @@ def fusion_step(state: TSDFState, depth: jax.Array, color: jax.Array,
     return state, mask_g
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def fusion_step_blocked(state, depth: jax.Array, color: jax.Array,
                         mask: jax.Array, extrinsic2init: jax.Array,
                         intrinsic: jax.Array, cfg: FusionConfig):

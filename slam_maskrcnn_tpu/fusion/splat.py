@@ -152,6 +152,30 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     return zbuf[:-1], vid, n_act
 
 
+def _gather_hist_rows(hist, vox_ids, K):
+    """Per-voxel K-bin histogram rows from the native [NB, 16, 128*K]
+    layout.
+
+    Any reshape that changes the hist's lane width (to [N_vox, K] or even
+    [N_vox*K/128, 128]) forces an 8.6 GB retiling copy at 512^3 — instant
+    OOM next to the 9.5 GB state. A vmapped dynamic_slice gathers the K
+    contiguous lanes per winner voxel directly (one XLA gather op).
+    """
+    S, LK = hist.shape[1], hist.shape[2]
+    L = LK // K
+    flat_ids = vox_ids.reshape(-1)
+
+    def one(v):
+        blk = v // (S * L)
+        s_i = (v // L) % S
+        l_i = v % L
+        return jax.lax.dynamic_slice(hist, (blk, s_i, l_i * K),
+                                     (1, 1, K))[0, 0]
+
+    rows = jax.vmap(one)(flat_ids)
+    return rows.reshape(vox_ids.shape + (K,))
+
+
 def _fill_holes(zbuf2d, vid2d):
     """Close 1-px holes: empty pixels take the nearest-z neighbor among the
     8-neighborhood (9 dense shifted minimums)."""
@@ -189,16 +213,19 @@ def _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
     have = vd2 >= 0
     vsafe = jnp.maximum(vd2, 0)
     if mode == "color":
-        cflat = colorpk.reshape(-1)
-        cpk = cflat[vsafe]
+        # gather 128-lane rows then one-hot-select the voxel's lane: a flat
+        # [N_vox] view retiles; [N_vox/128, 128] is layout-free
+        crows = colorpk.reshape(-1, 128)[vsafe // 128]
+        oh = ((vsafe % 128)[..., None]
+              == jnp.arange(128)[None, None, :]).astype(jnp.float32)
+        cpk = jnp.sum(crows * oh, axis=-1)
         blue = jnp.mod(cpk, 256.0)
         green = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
         red = jnp.floor(cpk / 65536.0)
         img = jnp.stack([red, green, blue], -1)  # RGB out
         return jnp.where(have[..., None], img, 0.0).astype(jnp.uint8)
     K = hist.shape[-1] // diff.shape[-1]
-    hist_vox = hist.reshape(-1, K)
-    rows = hist_vox[vsafe]                      # one row-gather [H, W, K]
+    rows = _gather_hist_rows(hist, vsafe, K)
     obj = jnp.argmax(rows, axis=-1)
     maxc = jnp.max(rows, axis=-1)
     lit = have & (obj > 0) & (maxc > 0)
@@ -222,8 +249,7 @@ def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
     have = vd2 >= 0
     vsafe = jnp.maximum(vd2, 0)
     K = b.hist.shape[-1] // b.diff.shape[-1]
-    hist_vox = b.hist.reshape(-1, K)
-    rows = hist_vox[vsafe].astype(jnp.float32)
+    rows = _gather_hist_rows(b.hist, vsafe, K).astype(jnp.float32)
     probs = jnp.where(have[..., None], rows, 0.0)
     box_mask = probs > cfg.box_mask_thresh
     return probs, box_mask

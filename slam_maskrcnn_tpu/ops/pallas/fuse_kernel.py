@@ -406,7 +406,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
         wt_out[g] = wt_ref[g] + valid.astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def fuse_frame_blocked(b: BlockedTSDFState, depth: jax.Array,
                        color: jax.Array, mask: jax.Array,
                        extrinsic2init: jax.Array, intrinsic: jax.Array,
