@@ -259,3 +259,44 @@ def test_inspect_and_viz_extras():
     mask[12:20, 12:20, 1] = True
     display_top_masks(canvas, mask, np.array([1, 2]),
                       ["BG", "a", "b"], limit=2)
+
+
+def test_batch_mask_process_writes_label_pngs(tmp_path):
+    """Gate config 3 contract: mask/<name>.png with pixel value = instance
+    id (mask_process.py semantics), via the real batch driver."""
+    import cv2
+
+    from slam_maskrcnn_tpu.models import Config, MaskRCNN
+    from slam_maskrcnn_tpu.models.mask_ops import batch_mask_process
+
+    class SmallCfg(Config):
+        NAME = "bmp_test"
+        BACKBONE = "resnet50"
+        IMAGE_MIN_DIM = 128
+        IMAGE_MAX_DIM = 128
+        NUM_CLASSES = 4
+        RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+        POST_NMS_ROIS_INFERENCE = 20
+        PRE_NMS_LIMIT = 50
+        DETECTION_MAX_INSTANCES = 5
+        IMAGES_PER_GPU = 1
+        GPU_COUNT = 1
+        DETECTION_MIN_CONFIDENCE = 0.0
+        COMPUTE_DTYPE = "float32"
+
+    rgb_dir = tmp_path / "rgb"
+    out_dir = tmp_path / "mask"
+    rgb_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for name in ("1311871923.004312.png", "1311871923.036248.png"):
+        cv2.imwrite(str(rgb_dir / name),
+                    rng.integers(0, 255, (96, 128, 3), dtype=np.uint8))
+    model = MaskRCNN("inference", SmallCfg())
+    model.init_params(0)
+    n = batch_mask_process(model, str(rgb_dir), str(out_dir), verbose=False)
+    assert n == 2
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["1311871923.004312.png", "1311871923.036248.png"]
+    m = cv2.imread(str(out_dir / outs[0]), cv2.IMREAD_GRAYSCALE)
+    assert m.shape == (96, 128)
+    assert m.dtype == np.uint8  # label-encoded instance ids
