@@ -121,6 +121,8 @@ class MaskRCNNModule(nn.Module):
         cls = detections[..., 4].astype(jnp.int32)          # [B, D]
         masks = jnp.take_along_axis(
             masks, cls[:, :, None, None, None], axis=-1)[..., 0]
+        # quantize for the host transfer (threshold happens at 0.5 anyway)
+        masks = jnp.round(masks * 255.0).astype(jnp.uint8)
         return dict(detections=detections, detection_valid=det_valid,
                     masks=masks, proposals=proposals, rpn_probs=rpn_probs,
                     rpn_bbox=rpn_bbox)
@@ -263,7 +265,8 @@ def unmold_mask(mask28, bbox, image_shape):
         return np.zeros(image_shape[:2], bool)
     m = cv2.resize(mask28.astype(np.float32), (x2 - x1, y2 - y1),
                    interpolation=cv2.INTER_LINEAR)
-    m = m >= 0.5
+    # masks arrive quantized to [0, 255] uint8 from the device
+    m = m >= (127.5 if mask28.dtype == np.uint8 else 0.5)
     full = np.zeros(image_shape[:2], bool)
     full[y1:y2, x1:x2] = m
     return full
