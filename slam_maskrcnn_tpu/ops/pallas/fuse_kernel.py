@@ -177,6 +177,9 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     Km = intrinsic.astype(jnp.float32)
     umin = jnp.full((nbx, nby, nbz), np.inf, jnp.float32)
     vmin = jnp.full((nbx, nby, nbz), np.inf, jnp.float32)
+    umax = jnp.full((nbx, nby, nbz), -np.inf, jnp.float32)
+    vmax = jnp.full((nbx, nby, nbz), -np.inf, jnp.float32)
+    any_front = jnp.zeros((nbx, nby, nbz), bool)
     for cx in (0.0, BX):
         for cy in (0.0, BY):
             for cz in (0.0, BZ):
@@ -194,6 +197,9 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
                 v = jnp.where(czz > 1e-6, v, np.inf)
                 umin = jnp.minimum(umin, u)
                 vmin = jnp.minimum(vmin, v)
+                umax = jnp.maximum(umax, jnp.where(czz > 1e-6, u, -np.inf))
+                vmax = jnp.maximum(vmax, jnp.where(czz > 1e-6, v, -np.inf))
+                any_front = any_front | (czz > 1e-6)
     # DMA slice starts must respect the (8, 128) tiling: align down. The
     # lane alignment forces rect_w >= footprint + 128.
     u0 = jnp.floor((umin - 2.0) / 128.0).astype(jnp.int32) * 128
@@ -205,12 +211,23 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     v0 = jnp.clip(v0, 0, v_hi)
     u0 = jnp.where(jnp.isfinite(umin), u0, 0)
     v0 = jnp.where(jnp.isfinite(vmin), v0, 0)
-    # flat [NB*2] (v0, u0 interleaved): a 2D SMEM operand would be
-    # lane-padded to 128 wide and blow the 1MB SMEM budget
-    return jnp.stack([v0.reshape(-1), u0.reshape(-1)], axis=-1).reshape(-1)
+    # conservative visibility: the block's projected bbox overlaps the
+    # image and at least one corner is in front of the camera. NOTE: with
+    # any corner behind the camera the projected bbox is unreliable — keep
+    # such blocks visible (the per-voxel ok test inside the kernel stays
+    # exact either way; this flag only gates work-skipping).
+    behind_any = ~jnp.isfinite(umin)
+    vis = (any_front
+           & (behind_any
+              | ((umax >= 0) & (umin <= W - 1)
+                 & (vmax >= 0) & (vmin <= H - 1))))
+    # flat [NB*3] (v0, u0, vis): a 2D SMEM operand would be lane-padded to
+    # 128 wide and blow the 1MB SMEM budget
+    return jnp.stack([v0.reshape(-1), u0.reshape(-1),
+                      vis.reshape(-1).astype(jnp.int32)], axis=-1).reshape(-1)
 
 
-def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
+def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*3] i32 (v0,u0,vis)
                  params_ref,   # SMEM [32] f32 packed scalars
                  pk1_hbm, pk2_hbm,  # HBM [Hp, Wp] f32
                  diff_ref, colorpk_ref, wt_ref, hist_ref,   # VMEM in
@@ -242,14 +259,17 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
 
     for g in range(GROUP):
         blk = step * GROUP + g
-        v0 = pl.multiple_of(origins_ref[blk * 2], 8)
-        u0 = pl.multiple_of(origins_ref[blk * 2 + 1], 128)
-        pltpu.make_async_copy(
-            pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
-            rect1.at[g], sems.at[0, g]).start()
-        pltpu.make_async_copy(
-            pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
-            rect2.at[g], sems.at[1, g]).start()
+
+        @pl.when(origins_ref[blk * 3 + 2] == 1)
+        def _():
+            v0 = pl.multiple_of(origins_ref[blk * 3], 8)
+            u0 = pl.multiple_of(origins_ref[blk * 3 + 1], 128)
+            pltpu.make_async_copy(
+                pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
+                rect1.at[g], sems.at[0, g]).start()
+            pltpu.make_async_copy(
+                pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
+                rect2.at[g], sems.at[1, g]).start()
 
     # per-voxel coordinates in the native (16, 128) tile layout
     # (all VPU math runs here; earlier versions computed in a (2048, 1)
@@ -278,132 +298,144 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*2] i32 (v0,u0)
 
     for g in range(GROUP):
         blk = step * GROUP + g
-        bz = jax.lax.rem(blk, nbz)
-        by = jax.lax.rem(blk // nbz, nby)
-        bx = blk // (nbz * nby)
 
-        gx = (bx * BX).astype(jnp.float32) + dxc
-        gy = (by * BY).astype(jnp.float32) + dyc
-        gz = (bz * BZ).astype(jnp.float32) + dzc
-        px = b0[0] + ax[0] * gx + ay[0] * gy + az[0] * gz
-        py = b0[1] + ax[1] * gx + ay[1] * gy + az[1] * gz
-        pz = b0[2] + ax[2] * gx + ay[2] * gy + az[2] * gz
+        @pl.when(origins_ref[blk * 3 + 2] == 0)
+        def _(g=g, blk=blk):
+            # block invisible this frame: every voxel is invalid,
+            # the update is the identity — skip DMA/MXU entirely
+            diff_out[g] = diff_ref[g]
+            colorpk_out[g] = colorpk_ref[g]
+            wt_out[g] = wt_ref[g]
+            hist_out[g] = hist_ref[g]
 
-        safe_z = jnp.where(jnp.abs(pz) < 1e-9, 1e-9, pz)
-        u = jnp.floor((fx * px + cx * pz) / safe_z).astype(jnp.int32)
-        v = jnp.floor((fy * py + cy * pz) / safe_z).astype(jnp.int32)
-        in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (pz > 0)
+        @pl.when(origins_ref[blk * 3 + 2] == 1)
+        def _(g=g, blk=blk):
+            bz = jax.lax.rem(blk, nbz)
+            by = jax.lax.rem(blk // nbz, nby)
+            bx = blk // (nbz * nby)
 
-        v0 = origins_ref[blk * 2]
-        u0 = origins_ref[blk * 2 + 1]
-        ul = u - u0
-        vl = v - v0
-        in_rect = (ul >= 0) & (ul < rect_w) & (vl >= 0) & (vl < rect_h)
-        miss_ref[0, 0] += jnp.sum((in_img & ~in_rect).astype(jnp.int32))
-        ok = in_img & in_rect
-        # column-layout copies for the one-hot gather (supported relayout:
-        # (16,128) -> (1,2048) reshape -> transpose; bool relayouts are not
-        # supported, so ok travels as i32)
-        vl_c = vl.reshape(1, BLOCK_VOX).T
-        ul_c = ul.reshape(1, BLOCK_VOX).T
-        ok_c = ok.astype(jnp.int32).reshape(1, BLOCK_VOX).T == 1
+            gx = (bx * BX).astype(jnp.float32) + dxc
+            gy = (by * BY).astype(jnp.float32) + dyc
+            gz = (bz * BZ).astype(jnp.float32) + dzc
+            px = b0[0] + ax[0] * gx + ay[0] * gy + az[0] * gz
+            py = b0[1] + ax[1] * gx + ay[1] * gy + az[1] * gz
+            pz = b0[2] + ax[2] * gx + ay[2] * gy + az[2] * gz
 
-        v0a = pl.multiple_of(v0, 8)
-        u0a = pl.multiple_of(u0, 128)
-        pltpu.make_async_copy(pk1_hbm.at[pl.ds(v0a, rect_h),
-                                         pl.ds(u0a, rect_w)],
-                              rect1.at[g], sems.at[0, g]).wait()
-        pltpu.make_async_copy(pk2_hbm.at[pl.ds(v0a, rect_h),
-                                         pl.ds(u0a, rect_w)],
-                              rect2.at[g], sems.at[1, g]).wait()
+            safe_z = jnp.where(jnp.abs(pz) < 1e-9, 1e-9, pz)
+            u = jnp.floor((fx * px + cx * pz) / safe_z).astype(jnp.int32)
+            v = jnp.floor((fy * py + cy * pz) / safe_z).astype(jnp.int32)
+            in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (pz > 0)
 
-        # row one-hot matmul (MXU) over both tables at once, then a column
-        # one-hot select (VPU). `ok` folded into the one-hot so invalid
-        # voxels read 0 (-> d_raw == 0 -> invalid, same as the XLA path).
-        row_oh = ((vl_c == rh_i) & ok_c).astype(jnp.float32)
-        # Exactness vs MXU rate: a default bf16 matmul would truncate the
-        # packed f32 integers (<2^24), f32 Precision.HIGHEST costs ~6 bf16
-        # passes. Instead decompose both tables into three 8-bit planes —
-        # plane values <= 255 are bf16-exact, the one-hot left operand is
-        # 0/1, and each output sums exactly one product — so a single-pass
-        # bf16 matmul over the 6 planes is bit-exact at full MXU rate. The
-        # planes recombine before the column select (sums of exact ints).
-        both = jnp.concatenate([rect1[g], rect2[g]], axis=1)
-        p2 = jnp.floor(both / 65536.0)
-        r16 = both - p2 * 65536.0
-        p1 = jnp.floor(r16 / 256.0)
-        p0 = r16 - p1 * 256.0
-        # int8 MXU (2-4x the bf16 rate on v5e): plane bytes shift to
-        # [-128, 127] to fit int8; one-term one-hot sums are exact in
-        # int32, and the +128 offset is restored per voxel afterwards.
-        planes = (jnp.concatenate([p0, p1, p2], axis=1)
-                  - 128.0).astype(jnp.int8)
-        ti = jnp.dot(row_oh.astype(jnp.int8), planes,
-                     preferred_element_type=jnp.int32)
-        ok_i = ok_c.astype(jnp.int32) * 128
-        t = (ti + ok_i).astype(jnp.float32)
-        w2 = 2 * rect_w
-        t12 = t[:, :w2] + 256.0 * t[:, w2:2 * w2] + 65536.0 * t[:, 2 * w2:]
+            v0 = origins_ref[blk * 3]
+            u0 = origins_ref[blk * 3 + 1]
+            ul = u - u0
+            vl = v - v0
+            in_rect = (ul >= 0) & (ul < rect_w) & (vl >= 0) & (vl < rect_h)
+            miss_ref[0, 0] += jnp.sum((in_img & ~in_rect).astype(jnp.int32))
+            ok = in_img & in_rect
+            # column-layout copies for the one-hot gather (supported relayout:
+            # (16,128) -> (1,2048) reshape -> transpose; bool relayouts are not
+            # supported, so ok travels as i32)
+            vl_c = vl.reshape(1, BLOCK_VOX).T
+            ul_c = ul.reshape(1, BLOCK_VOX).T
+            ok_c = ok.astype(jnp.int32).reshape(1, BLOCK_VOX).T == 1
 
-        val1c = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
-        val2c = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
-        for c0 in range(0, rect_w, 128):
-            oh_c = (ul_c == (jax.lax.broadcasted_iota(
-                jnp.int32, (BLOCK_VOX, 128), 1) + c0)).astype(jnp.float32)
-            val1c = val1c + jnp.sum(t12[:, c0:c0 + 128] * oh_c, axis=1,
-                                    keepdims=True)
-            val2c = val2c + jnp.sum(
-                t12[:, rect_w + c0:rect_w + c0 + 128] * oh_c, axis=1,
-                keepdims=True)
+            v0a = pl.multiple_of(v0, 8)
+            u0a = pl.multiple_of(u0, 128)
+            pltpu.make_async_copy(pk1_hbm.at[pl.ds(v0a, rect_h),
+                                             pl.ds(u0a, rect_w)],
+                                  rect1.at[g], sems.at[0, g]).wait()
+            pltpu.make_async_copy(pk2_hbm.at[pl.ds(v0a, rect_h),
+                                             pl.ds(u0a, rect_w)],
+                                  rect2.at[g], sems.at[1, g]).wait()
 
-        # back to the (16, 128) tile layout for the update math
-        val1 = val1c.reshape(TILE_S, TILE_L)
-        val2 = val2c.reshape(TILE_S, TILE_L)
-        d_raw = jnp.mod(val1, 65536.0)             # uint16 depth, exact
-        m_id = jnp.floor(val1 / 65536.0)           # mask id
-        diff_m = d_raw / depth_scale - pz
-        valid = ok & (d_raw > 0) & (diff_m > -mu)
-        dn = jnp.minimum(diff_m, mu) / mu
-        gate = valid & (dn < color_diff_gate)
-        m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
+            # row one-hot matmul (MXU) over both tables at once, then a column
+            # one-hot select (VPU). `ok` folded into the one-hot so invalid
+            # voxels read 0 (-> d_raw == 0 -> invalid, same as the XLA path).
+            row_oh = ((vl_c == rh_i) & ok_c).astype(jnp.float32)
+            # Exactness vs MXU rate: a default bf16 matmul would truncate the
+            # packed f32 integers (<2^24), f32 Precision.HIGHEST costs ~6 bf16
+            # passes. Instead decompose both tables into three 8-bit planes —
+            # plane values <= 255 are bf16-exact, the one-hot left operand is
+            # 0/1, and each output sums exactly one product — so a single-pass
+            # bf16 matmul over the 6 planes is bit-exact at full MXU rate. The
+            # planes recombine before the column select (sums of exact ints).
+            both = jnp.concatenate([rect1[g], rect2[g]], axis=1)
+            p2 = jnp.floor(both / 65536.0)
+            r16 = both - p2 * 65536.0
+            p1 = jnp.floor(r16 / 256.0)
+            p0 = r16 - p1 * 256.0
+            # int8 MXU (2-4x the bf16 rate on v5e): plane bytes shift to
+            # [-128, 127] to fit int8; one-term one-hot sums are exact in
+            # int32, and the +128 offset is restored per voxel afterwards.
+            planes = (jnp.concatenate([p0, p1, p2], axis=1)
+                      - 128.0).astype(jnp.int8)
+            ti = jnp.dot(row_oh.astype(jnp.int8), planes,
+                         preferred_element_type=jnp.int32)
+            ok_i = ok_c.astype(jnp.int32) * 128
+            t = (ti + ok_i).astype(jnp.float32)
+            w2 = 2 * rect_w
+            t12 = t[:, :w2] + 256.0 * t[:, w2:2 * w2] + 65536.0 * t[:, 2 * w2:]
 
-        wt = wt_ref[g].astype(jnp.float32)
-        diff_out[g] = jnp.where(valid,
-                                (diff_ref[g] * wt + dn) / (wt + 1.0),
-                                diff_ref[g])
+            val1c = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
+            val2c = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
+            for c0 in range(0, rect_w, 128):
+                oh_c = (ul_c == (jax.lax.broadcasted_iota(
+                    jnp.int32, (BLOCK_VOX, 128), 1) + c0)).astype(jnp.float32)
+                val1c = val1c + jnp.sum(t12[:, c0:c0 + 128] * oh_c, axis=1,
+                                        keepdims=True)
+                val2c = val2c + jnp.sum(
+                    t12[:, rect_w + c0:rect_w + c0 + 128] * oh_c, axis=1,
+                    keepdims=True)
 
-        # color: integer truncating blend per byte, exact in f32
-        cpk = colorpk_ref[g]
-        cb = jnp.mod(cpk, 256.0)
-        cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
-        cr = jnp.floor(cpk / 65536.0)
-        nb_ = jnp.mod(val2, 256.0)
-        ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
-        nr = jnp.floor(val2 / 65536.0)
-        wtp1 = wt + 1.0
+            # back to the (16, 128) tile layout for the update math
+            val1 = val1c.reshape(TILE_S, TILE_L)
+            val2 = val2c.reshape(TILE_S, TILE_L)
+            d_raw = jnp.mod(val1, 65536.0)             # uint16 depth, exact
+            m_id = jnp.floor(val1 / 65536.0)           # mask id
+            diff_m = d_raw / depth_scale - pz
+            valid = ok & (d_raw > 0) & (diff_m > -mu)
+            dn = jnp.minimum(diff_m, mu) / mu
+            gate = valid & (dn < color_diff_gate)
+            m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
 
-        # floor of an f32 division can land one above the true integer
-        # quotient when the ratio sits just under an integer; correct it so
-        # the blend matches the reference's integer truncation exactly.
-        def idiv(a, den):
-            q = jnp.floor(a / den)
-            return q - (q * den > a).astype(jnp.float32)
+            wt = wt_ref[g].astype(jnp.float32)
+            diff_out[g] = jnp.where(valid,
+                                    (diff_ref[g] * wt + dn) / (wt + 1.0),
+                                    diff_ref[g])
 
-        ub = idiv(cb * wt + nb_, wtp1)
-        ug = idiv(cg * wt + ng, wtp1)
-        ur = idiv(cr * wt + nr, wtp1)
-        new_cpk = ub + ug * 256.0 + ur * 65536.0
-        colorpk_out[g] = jnp.where(gate, new_cpk, cpk)
+            # color: integer truncating blend per byte, exact in f32
+            cpk = colorpk_ref[g]
+            cb = jnp.mod(cpk, 256.0)
+            cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
+            cr = jnp.floor(cpk / 65536.0)
+            nb_ = jnp.mod(val2, 256.0)
+            ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
+            nr = jnp.floor(val2 / 65536.0)
+            wtp1 = wt + 1.0
 
-        # histogram: voxel-major lanes (j = l*K + k); expansion via MXU
-        m_rep = jnp.dot(m_clip.astype(jnp.bfloat16), rexp,
-                        preferred_element_type=jnp.float32)
-        g_rep = jnp.dot(gate.astype(jnp.bfloat16), rexp,
-                        preferred_element_type=jnp.float32)
-        oh = (m_rep == k_pat) & (g_rep > 0.5)
-        hist_out[g] = hist_ref[g] + oh.astype(jnp.uint16)
+            # floor of an f32 division can land one above the true integer
+            # quotient when the ratio sits just under an integer; correct it so
+            # the blend matches the reference's integer truncation exactly.
+            def idiv(a, den):
+                q = jnp.floor(a / den)
+                return q - (q * den > a).astype(jnp.float32)
 
-        wt_out[g] = wt_ref[g] + valid.astype(jnp.int32)
+            ub = idiv(cb * wt + nb_, wtp1)
+            ug = idiv(cg * wt + ng, wtp1)
+            ur = idiv(cr * wt + nr, wtp1)
+            new_cpk = ub + ug * 256.0 + ur * 65536.0
+            colorpk_out[g] = jnp.where(gate, new_cpk, cpk)
+
+            # histogram: voxel-major lanes (j = l*K + k); expansion via MXU
+            m_rep = jnp.dot(m_clip.astype(jnp.bfloat16), rexp,
+                            preferred_element_type=jnp.float32)
+            g_rep = jnp.dot(gate.astype(jnp.bfloat16), rexp,
+                            preferred_element_type=jnp.float32)
+            oh = (m_rep == k_pat) & (g_rep > 0.5)
+            hist_out[g] = hist_ref[g] + oh.astype(jnp.uint16)
+
+            wt_out[g] = wt_ref[g] + valid.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))

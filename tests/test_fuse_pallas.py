@@ -86,3 +86,27 @@ def test_init_blocked_matches_conversion():
                                np.asarray(via_conv.voxel))
     assert (direct.nbx, direct.nby, direct.nbz) == (
         via_conv.nbx, via_conv.nby, via_conv.nbz)
+
+
+def test_invisible_blocks_are_skipped_correctly():
+    """Camera looking away: no voxel is visible; the state must be
+    unchanged except n_obs (identity update via the visibility skip)."""
+    frames = _frames(1)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    state = init_from_first_frame(CFG, depth0, K4, md)
+    blocked = to_blocked(state, CFG)
+    # rotate the camera 180 degrees: volume is behind it
+    E = np.eye(4, dtype=np.float32)
+    E[0, 0] = E[2, 2] = -1.0
+    b2, miss = fuse_frame_blocked(
+        blocked, jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]),
+        jnp.asarray(frames[0][2]), jnp.asarray(E), jnp.asarray(K4), CFG)
+    assert int(miss) == 0
+    blocked_ref = to_blocked(state, CFG)  # fresh copy (donation consumed it)
+    np.testing.assert_array_equal(np.asarray(b2.weight),
+                                  np.asarray(blocked_ref.weight))
+    np.testing.assert_array_equal(np.asarray(b2.hist),
+                                  np.asarray(blocked_ref.hist))
+    np.testing.assert_allclose(np.asarray(b2.diff),
+                               np.asarray(blocked_ref.diff))
