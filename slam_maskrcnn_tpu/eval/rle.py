@@ -30,12 +30,24 @@ def _native():
     _LIB_TRIED = True
     src = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "native", "rle.cpp")
-    so = os.path.join(os.path.dirname(src), "librle.so")
     try:
-        if not os.path.exists(so) or (os.path.getmtime(so)
-                                      < os.path.getmtime(src)):
-            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
+        # Build into a cache dir keyed by a hash of the source, so the
+        # binary that runs is always the one compiled from the reviewed
+        # source (never a stale or committed .so — mtime comparison fails
+        # on fresh clones where git stamps both files at checkout time).
+        import hashlib
+        import tempfile
+
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache = os.path.join(tempfile.gettempdir(), "slam_maskrcnn_tpu_rle")
+        os.makedirs(cache, exist_ok=True)
+        so = os.path.join(cache, f"librle-{digest}.so")
+        if not os.path.exists(so):
+            tmp = so + f".tmp{os.getpid()}"
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
                            check=True, capture_output=True)
+            os.replace(tmp, so)
         lib = ctypes.CDLL(so)
         lib.rle_encode.restype = ctypes.c_int64
         lib.rle_merge.restype = ctypes.c_int64
@@ -89,8 +101,10 @@ def rle_decode(rle: dict) -> np.ndarray:
             ctypes.c_int64(flat.size))
     else:
         vals = np.arange(counts.size) % 2
-        flat = np.repeat(vals.astype(np.uint8), counts)
-        flat = np.resize(flat, h * w)
+        runs = np.repeat(vals.astype(np.uint8), counts)[:h * w]
+        # zero-pad short/malformed RLEs (np.resize would TILE the runs);
+        # matches the native path, which leaves the tail zero-filled
+        flat[:runs.size] = runs
     return flat.reshape((h, w), order="F")
 
 

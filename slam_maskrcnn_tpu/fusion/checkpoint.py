@@ -21,6 +21,9 @@ def save_volume(path: str, state, cfg) -> str:
         state = to_dense(state, cfg)
     np.savez_compressed(
         path,
+        vol_dim=np.asarray(cfg.vol_dim, np.int64),
+        voxel=np.asarray(state.voxel),
+        mu=np.asarray(state.mu),
         diff=np.asarray(state.diff),
         color=np.asarray(state.color),
         weight=np.asarray(state.weight),
@@ -42,6 +45,17 @@ def load_volume(path: str, cfg, blocked: bool = False):
     from slam_maskrcnn_tpu.fusion.state import TSDFState, init_state
 
     z = np.load(path)
+    if "vol_dim" in z:  # written by this version; older snapshots lack it
+        saved_dim = tuple(int(d) for d in z["vol_dim"])
+        if saved_dim != tuple(cfg.vol_dim):
+            raise ValueError(
+                f"snapshot was saved at vol_dim={saved_dim} but cfg has "
+                f"vol_dim={tuple(cfg.vol_dim)}; voxel pitch/mu would be "
+                "inconsistent with the restored arrays")
+    elif tuple(cfg.vol_dim) != z["diff"].shape:
+        raise ValueError(
+            f"snapshot arrays are {z['diff'].shape} but cfg.vol_dim is "
+            f"{tuple(cfg.vol_dim)}")
     base = init_state(cfg, z["vol_start"], z["vol_end"],
                       num_objs=int(z["num_objs"]))
     state = base.replace(

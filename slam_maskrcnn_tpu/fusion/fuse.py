@@ -21,6 +21,15 @@ Parity choices preserved (each cited):
   ``tsdf.cu:59``).
 * weight increments by 1 *after* the blends (``tsdf.cu:68``), i.e. blends
   use the pre-update weight.
+
+Deliberate deviation from the reference: voxels BEHIND the camera plane
+(camera z <= 0) never fuse. The CUDA kernel (``tsdf.cu:30-52``) has no
+z-guard, so a behind-camera voxel whose mirrored projection lands in-bounds
+is marked "observed empty" (diff clamps to +mu, weight++) — geometric
+nonsense that only manifests when the camera enters the volume. Both our
+paths (this one and ``ops/pallas/fuse_kernel.py``) apply the z > 0 guard
+and are tested to agree with each other for cameras inside the volume
+(``tests/test_fuse_pallas.py``).
 """
 
 from __future__ import annotations
@@ -81,7 +90,9 @@ def fuse_frame(state: TSDFState, depth: jax.Array, color: jax.Array,
     u = jnp.floor(screen_x / screen_z).astype(jnp.int32)
     v = jnp.floor(screen_y / screen_z).astype(jnp.int32)
 
-    in_bounds = (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    # pz > 0: cull behind-camera voxels (deliberate deviation, see module
+    # docstring; keeps parity with the Pallas kernel's in_img test)
+    in_bounds = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (pz > 0)
     uc = jnp.clip(u, 0, W - 1)
     vc = jnp.clip(v, 0, H - 1)
     flat_idx = vc * W + uc

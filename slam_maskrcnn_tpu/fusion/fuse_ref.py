@@ -43,7 +43,10 @@ def fuse_frame_ref(diff, color, weight, hist, vol_start, voxel, mu,
     x = np.floor(screen[..., 0] / screen[..., 2]).astype(np.int64)
     y = np.floor(screen[..., 1] / screen[..., 2]).astype(np.int64)
 
-    inb = (x >= 0) & (x < W) & (y >= 0) & (y < H)
+    # pz > 0: behind-camera guard — a deliberate deviation from tsdf.cu
+    # (which has none and would fuse mirrored projections); matches
+    # fusion/fuse.py and the Pallas kernel, see fuse.py module docstring.
+    inb = (x >= 0) & (x < W) & (y >= 0) & (y < H) & (proj[..., 2] > 0)
     xc, yc = np.clip(x, 0, W - 1), np.clip(y, 0, H - 1)
     d_raw = depth[yc, xc]
     mu = np.float32(mu)

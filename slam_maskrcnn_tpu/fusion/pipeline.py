@@ -101,11 +101,23 @@ class SemanticFusion:
     equivalent of the reference's ``TSDF`` class + ``kernel.cpp`` glue."""
 
     def __init__(self, intrinsic: np.ndarray, cfg: FusionConfig | None = None,
-                 backend: str = "xla"):
+                 backend: str = "xla", miss_check_every: int = 8,
+                 on_miss=None):
         """backend: "xla" (exact trilinear probe, dense state) or "pallas"
-        (blocked state, Pallas fuse kernel + splat probe — the fast path)."""
+        (blocked state, Pallas fuse kernel + splat probe — the fast path).
+
+        miss_check_every: on the pallas backend, read back the kernel's
+        rect-miss counter every N fused frames (a device->host sync, so not
+        every frame). If misses were dropped, call ``on_miss(frame_idx,
+        misses)`` if given, else ``warnings.warn`` — the caller's cue to
+        re-run the sequence on the exact xla backend (the blocked state is
+        too large to convert dense in-flight at 512^3). 0 disables."""
         assert backend in ("xla", "pallas")
         self.backend = backend
+        self.miss_check_every = miss_check_every
+        self.on_miss = on_miss
+        self.total_misses = 0
+        self._frame_idx = 0
         self.cfg = cfg or FusionConfig()
         self.intrinsic = np.asarray(intrinsic, np.float32)
         if self.intrinsic.shape == (3, 3):
@@ -147,6 +159,20 @@ class SemanticFusion:
                 jnp.asarray(mask), jnp.asarray(e2i),
                 jnp.asarray(self.intrinsic), self.cfg)
             self.last_misses = misses
+            self._frame_idx += 1
+            if (self.miss_check_every
+                    and self._frame_idx % self.miss_check_every == 0):
+                m = int(misses)  # sync point, every Nth frame only
+                if m > 0:
+                    self.total_misses += m
+                    if self.on_miss is not None:
+                        self.on_miss(self._frame_idx, m)
+                    else:
+                        import warnings
+                        warnings.warn(
+                            f"pallas fuse dropped {m} voxels at frame "
+                            f"{self._frame_idx}; re-run on backend='xla' "
+                            "for exact results")
             return mask_g
         self.state, mask_g = fusion_step(
             self.state, jnp.asarray(depth), jnp.asarray(color),

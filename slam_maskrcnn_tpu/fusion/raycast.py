@@ -19,12 +19,17 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from slam_maskrcnn_tpu.fusion.state import FusionConfig, TSDFState
 
 # 32-entry instance palette from the reference viewer (viewer.cu:93-126);
 # stored RGB, the reference swaps to BGR at write (viewer.cu:82).
-INSTANCE_PALETTE = jnp.array([
+# numpy, NOT jnp: a module-level jax array is a concrete device buffer that
+# capturing traces lift as a hidden executable parameter, tripping the
+# jax-0.9 C++ fastpath buffer miscount (see splat.BIG). Index with
+# jnp.asarray(INSTANCE_PALETTE) inside traces.
+INSTANCE_PALETTE = np.array([
     [230, 25, 75], [60, 180, 75], [255, 225, 25], [0, 130, 200],
     [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
     [210, 245, 60], [250, 190, 190], [0, 128, 128], [230, 190, 255],
@@ -33,7 +38,7 @@ INSTANCE_PALETTE = jnp.array([
     [245, 130, 48], [145, 30, 180], [70, 240, 240], [240, 50, 230],
     [210, 245, 60], [250, 190, 190], [0, 128, 128], [230, 190, 255],
     [170, 110, 40], [255, 250, 200], [128, 0, 0], [170, 255, 195],
-], dtype=jnp.uint8)
+], dtype=np.uint8)
 
 
 def trilinear(vol: jax.Array, vol_start: jax.Array, voxel: jax.Array,
@@ -221,7 +226,7 @@ def render(state: TSDFState, s2w: jax.Array, center: jax.Array,
     obj = jnp.argmax(cnts, axis=-1)
     max_cnt = jnp.max(cnts, axis=-1)
     visible = hit & (obj > 0) & (max_cnt > 0)
-    img = jnp.where(visible[..., None], INSTANCE_PALETTE[obj], 0)
+    img = jnp.where(visible[..., None], jnp.asarray(INSTANCE_PALETTE)[obj], 0)
     return img.astype(jnp.uint8)
 
 

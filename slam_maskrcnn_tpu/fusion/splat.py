@@ -35,7 +35,13 @@ import numpy as np
 from slam_maskrcnn_tpu.fusion.raycast import INSTANCE_PALETTE
 from slam_maskrcnn_tpu.fusion.state import FusionConfig
 
-BIG = jnp.float32(3.0e38)
+# numpy scalar, NOT jnp: a module-level jax scalar is a concrete device
+# array; traces that capture it get it lifted as a hidden executable
+# parameter, and the jax-0.9 C++ fastpath then under-supplies buffers on
+# the second call of any capturing jitted function ("Execution supplied 14
+# buffers but compiled program expected 15"). A numpy scalar embeds as a
+# literal.
+BIG = np.float32(3.0e38)
 
 
 def pinhole_of_extrinsic(extrinsic, intrinsic):
@@ -229,7 +235,7 @@ def _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
     obj = jnp.argmax(rows, axis=-1)
     maxc = jnp.max(rows, axis=-1)
     lit = have & (obj > 0) & (maxc > 0)
-    img = jnp.where(lit[..., None], INSTANCE_PALETTE[obj], 0)
+    img = jnp.where(lit[..., None], jnp.asarray(INSTANCE_PALETTE)[obj], 0)
     return img.astype(jnp.uint8)
 
 

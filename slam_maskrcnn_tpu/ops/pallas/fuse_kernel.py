@@ -180,6 +180,7 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     umax = jnp.full((nbx, nby, nbz), -np.inf, jnp.float32)
     vmax = jnp.full((nbx, nby, nbz), -np.inf, jnp.float32)
     any_front = jnp.zeros((nbx, nby, nbz), bool)
+    all_front = jnp.ones((nbx, nby, nbz), bool)
     for cx in (0.0, BX):
         for cy in (0.0, BY):
             for cz in (0.0, BZ):
@@ -200,6 +201,7 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
                 umax = jnp.maximum(umax, jnp.where(czz > 1e-6, u, -np.inf))
                 vmax = jnp.maximum(vmax, jnp.where(czz > 1e-6, v, -np.inf))
                 any_front = any_front | (czz > 1e-6)
+                all_front = all_front & (czz > 1e-6)
     # DMA slice starts must respect the (8, 128) tiling: align down. The
     # lane alignment forces rect_w >= footprint + 128.
     u0 = jnp.floor((umin - 2.0) / 128.0).astype(jnp.int32) * 128
@@ -212,13 +214,17 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     u0 = jnp.where(jnp.isfinite(umin), u0, 0)
     v0 = jnp.where(jnp.isfinite(vmin), v0, 0)
     # conservative visibility: the block's projected bbox overlaps the
-    # image and at least one corner is in front of the camera. NOTE: with
-    # any corner behind the camera the projected bbox is unreliable — keep
-    # such blocks visible (the per-voxel ok test inside the kernel stays
-    # exact either way; this flag only gates work-skipping).
-    behind_any = ~jnp.isfinite(umin)
+    # image and at least one corner is in front of the camera. A block that
+    # straddles the camera plane (some corners front, some behind — camera
+    # inside/near the volume) has an unreliable projected bbox: the convex
+    # hull of front-corner projections does NOT bound the projections of
+    # front voxels inside the block. Keep such blocks visible
+    # unconditionally; the per-voxel ok test inside the kernel stays exact
+    # either way (this flag only gates work-skipping), and any voxel whose
+    # pixel then falls outside the rect is counted in `misses`.
+    partial_behind = any_front & ~all_front
     vis = (any_front
-           & (behind_any
+           & (partial_behind
               | ((umax >= 0) & (umin <= W - 1)
                  & (vmax >= 0) & (vmin <= H - 1))))
     # flat [NB*3] (v0, u0, vis): a 2D SMEM operand would be lane-padded to
@@ -444,6 +450,17 @@ def fuse_frame_blocked(b: BlockedTSDFState, depth: jax.Array,
                        extrinsic2init: jax.Array, intrinsic: jax.Array,
                        cfg: FusionConfig):
     """Pallas fusion step on a blocked state. Returns (new_state, misses)."""
+    return fuse_frame_blocked_impl(b, depth, color, mask, extrinsic2init,
+                                   intrinsic, cfg)
+
+
+def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
+                            color: jax.Array, mask: jax.Array,
+                            extrinsic2init: jax.Array, intrinsic: jax.Array,
+                            cfg: FusionConfig):
+    """Unjitted body of fuse_frame_blocked — also callable per-shard inside
+    shard_map (parallel/sharding.py fuses a volume-sharded state by giving
+    each shard a local BlockedTSDFState with a shifted vol_start)."""
     H, W = depth.shape
     K = b.hist.shape[-1] // TILE_L
     NB = b.diff.shape[0]

@@ -1,5 +1,6 @@
 from slam_maskrcnn_tpu.parallel.sharding import (data_parallel_sharding,
                                                  make_mesh,
+                                                 make_sharded_fusion_step,
                                                  shard_batch,
                                                  shard_params,
                                                  shard_volume_state)

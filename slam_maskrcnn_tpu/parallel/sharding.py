@@ -20,7 +20,10 @@ makes 512^3 feasible (SURVEY §5.7 options (a)+(b) both implemented).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -63,3 +66,146 @@ def shard_volume_state(state, mesh: Mesh, axis: str = "data"):
         return jax.device_put(leaf, rep)
 
     return jax.tree.map(place, state)
+
+
+def _fill_holes_probs(z2d, probs, big):
+    """Close 1-px holes on the globally-combined (z, probs) images —
+    the post-combine equivalent of splat._fill_holes (which fills (z, vid)
+    pre-gather; a voxel id is shard-local, so the sharded path must fill
+    after the hist rows have been fetched and psum-combined)."""
+    empty = z2d >= big
+    fz = jnp.full_like(z2d, big)
+    fp = jnp.zeros_like(probs)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nz = jnp.roll(z2d, (dy, dx), axis=(0, 1))
+            nr = jnp.roll(probs, (dy, dx), axis=(0, 1))
+            better = empty & (nz < fz)
+            fz = jnp.where(better, nz, fz)
+            fp = jnp.where(better[..., None], nr, fp)
+    return (jnp.where(empty, fz, z2d),
+            jnp.where(empty[..., None], fp, probs))
+
+
+def make_sharded_fusion_step(cfg, mesh: Mesh, axis: str = "data",
+                             max_blocks: int = 4096):
+    """Volume-sharded blocked fusion step (SURVEY §5.7 option (a)).
+
+    The BlockedTSDFState's block axis is x-major, so sharding dim 0 over the
+    mesh shards the volume along x; each shard is a self-contained
+    sub-volume whose ``vol_start.x`` is shifted by its shard offset. Per
+    frame, inside ``shard_map``:
+
+    * **probe**: each shard splats its own surface voxels to a local
+      z-buffer + histogram rows; a ``pmin`` picks the globally nearest
+      surface per pixel (lowest shard breaks ties) and a masked ``psum``
+      assembles the winner's histogram row — the only collectives in the
+      step (tiny: [H, W] + [H, W, K] over ICI).
+    * **associate**: runs replicated on the combined probs (a <= KxK score
+      problem, deterministic across shards).
+    * **fuse**: the Pallas kernel runs shard-locally (voxel-parallel gather
+      — zero communication), exactly as on one chip.
+
+    Returns a jitted ``step(state, depth, color, mask, e2i, intrinsic) ->
+    (state, mask_g, misses)`` with the state arrays donated.
+    """
+    from slam_maskrcnn_tpu.fusion.associate import (apply_relabel,
+                                                    associate_instances)
+    from slam_maskrcnn_tpu.fusion.splat import (BIG, _gather_hist_rows,
+                                                _splat_zbuffer_arrays,
+                                                pinhole_of_extrinsic)
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+        BX, BlockedTSDFState, fuse_frame_blocked_impl)
+
+    n = mesh.size
+    shard = P(axis)
+    rep = P()
+
+    def step_impl(diff, colorpk, weight, hist, vol_start, voxel,
+                  mu, n_obs, num_objs, depth, color, mask, e2i, intrinsic,
+                  *, nbx, nby, nbz):
+        H, W = depth.shape
+        nbx_local = nbx // n
+        i = jax.lax.axis_index(axis)
+        shift = i.astype(jnp.float32) * (nbx_local * BX) * voxel[0]
+        # vol_end is not an input: the fuse path never reads it, and an
+        # unused donated leaf trips the jax-0.9 fastpath pruned-buffer
+        # miscount on repeat calls (see splat.py). vol_start stands in.
+        st = BlockedTSDFState(
+            diff=diff, colorpk=colorpk, weight=weight, hist=hist,
+            vol_start=vol_start.at[0].add(shift), vol_end=vol_start,
+            voxel=voxel, mu=mu, n_obs=n_obs, num_objs=num_objs,
+            nbx=nbx_local, nby=nby, nbz=nbz)
+
+        def with_assoc(operand):
+            stl, msk = operand
+            M, m4 = pinhole_of_extrinsic(e2i, intrinsic)
+            zbuf, vid, _ = _splat_zbuffer_arrays(
+                stl.diff, stl.vol_start, stl.voxel, M, m4, H, W,
+                stl.nby, stl.nbz, max_blocks)
+            Kb = stl.hist.shape[-1] // stl.diff.shape[-1]
+            vd2 = vid.reshape(H, W)
+            rows = _gather_hist_rows(stl.hist, jnp.maximum(vd2, 0),
+                                     Kb).astype(jnp.float32)
+            rows = jnp.where((vd2 >= 0)[..., None], rows, 0.0)
+            z2 = zbuf.reshape(H, W)
+            gz = jax.lax.pmin(z2, axis)
+            claim = (z2 <= gz) & (z2 < BIG)
+            owner = jax.lax.pmin(jnp.where(claim, i, n), axis)
+            mine = claim & (owner == i)
+            probs = jax.lax.psum(jnp.where(mine[..., None], rows, 0.0),
+                                 axis)
+            _, probs = _fill_holes_probs(gz, probs, BIG)
+            bm = probs > cfg.box_mask_thresh
+            return associate_instances(probs, bm, msk, st.n_obs,
+                                       st.num_objs, cfg)
+
+        def first_fuse(operand):
+            stl, msk = operand
+            identity = jnp.arange(cfg.max_objects, dtype=jnp.int32)
+            return identity, jnp.max(msk).astype(jnp.int32) + 1
+
+        relabel, new_num = jax.lax.cond(st.n_obs > 0, with_assoc,
+                                        first_fuse, (st, mask))
+        mask_g = apply_relabel(mask, relabel)
+        st = st.replace(num_objs=new_num)
+        new, miss = fuse_frame_blocked_impl(st, depth, color, mask_g, e2i,
+                                            intrinsic, cfg)
+        return (new.diff, new.colorpk, new.weight, new.hist, new.n_obs,
+                new.num_objs, mask_g, jax.lax.psum(miss, axis))
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+             static_argnames=("nbx", "nby", "nbz"))
+    def step_arrays(diff, colorpk, weight, hist, vol_start, voxel, mu,
+                    n_obs, num_objs, depth, color, mask, e2i, intrinsic,
+                    nbx, nby, nbz):
+        fn = partial(step_impl, nbx=nbx, nby=nby, nbz=nbz)
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(shard, shard, shard, shard, rep, rep, rep, rep,
+                      rep, rep, rep, rep, rep, rep),
+            out_specs=(shard, shard, shard, shard, rep, rep, rep, rep),
+            # pallas_call out_shapes carry no vma metadata -> the varying-
+            # axes checker cannot type them; replication of the rep outputs
+            # is still guaranteed by construction (pmin/psum combines)
+            check_vma=False,
+        )(diff, colorpk, weight, hist, vol_start, voxel, mu,
+          n_obs, num_objs, depth, color, mask, e2i, intrinsic)
+
+    def step(state, depth, color, mask, e2i, intrinsic):
+        # explicit-arrays jit boundary (not the state pytree): an unused
+        # pytree leaf (vol_end) plus donation trips the jax-0.9 C++
+        # fastpath pruned-buffer miscount on repeat calls (see splat.py)
+        out = step_arrays(state.diff, state.colorpk, state.weight,
+                          state.hist, state.vol_start, state.voxel,
+                          state.mu, state.n_obs, state.num_objs,
+                          depth, color, mask, e2i, intrinsic,
+                          nbx=state.nbx, nby=state.nby, nbz=state.nbz)
+        diff, colorpk, weight, hist, n_obs, num_objs, mask_g, miss = out
+        new_state = state.replace(diff=diff, colorpk=colorpk, weight=weight,
+                                  hist=hist, n_obs=n_obs, num_objs=num_objs)
+        return new_state, mask_g, miss
+
+    return step

@@ -88,6 +88,52 @@ def test_init_blocked_matches_conversion():
         via_conv.nbx, via_conv.nby, via_conv.nbz)
 
 
+def test_camera_inside_volume_parity():
+    """Camera at the volume center (blocks straddle the camera plane).
+    Regression test for the dead `behind_any` visibility term: partially-
+    behind blocks must stay visible, and every in-image voxel the kernel
+    cannot serve from its rect must be counted in `misses` so the fallback
+    contract holds. Both paths apply the pz > 0 guard (see fuse.py)."""
+    frames = _frames(1)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    state = init_from_first_frame(CFG, depth0, K4, md)
+    blocked = to_blocked(state, CFG)
+
+    # extrinsic that puts the camera at the volume center, looking +z
+    center = 0.5 * (np.asarray(state.vol_start) + np.asarray(state.vol_end))
+    E = np.eye(4, dtype=np.float32)
+    E[:3, 3] = -center
+    depth, img, mask = (jnp.asarray(frames[0][0]), jnp.asarray(frames[0][1]),
+                        jnp.asarray(frames[0][2]))
+    xla = fuse_frame(state, depth, img, mask, jnp.asarray(E),
+                     jnp.asarray(K4), CFG)
+    pal, miss = fuse_frame_blocked(blocked, depth, img, mask,
+                                   jnp.asarray(E), jnp.asarray(K4), CFG)
+    dense = to_dense(pal, CFG)
+
+    w0 = np.asarray(state.weight)
+    dw_xla = np.asarray(xla.weight) - w0
+    dw_pal = np.asarray(dense.weight) - w0
+    assert dw_xla.sum() > 0, "fixture must actually fuse something"
+    # pallas updates are a subset of the exact path's updates…
+    assert np.all(dw_pal <= dw_xla)
+    # …and wherever pallas did update, it agrees (a handful of voxels sit
+    # exactly on the color-gate/cull thresholds where the two paths' float
+    # summation orders differ — same tolerance class as the main parity test)
+    upd = dw_pal > 0
+    hist_bad = (np.asarray(dense.hist)[upd]
+                != np.asarray(xla.hist)[upd]).any(-1)
+    assert hist_bad.mean() < 5e-3, f"{hist_bad.sum()} hist mismatches"
+    diff_bad = ~np.isclose(np.asarray(dense.diff)[upd],
+                           np.asarray(xla.diff)[upd], atol=1e-5)
+    assert diff_bad.mean() < 1e-2, f"{diff_bad.sum()} diff mismatches"
+    # every voxel the exact path fused but pallas skipped is accounted for
+    missed_voxels = int((dw_xla - dw_pal).sum())
+    assert int(miss) >= missed_voxels, (
+        f"misses={int(miss)} under-reports {missed_voxels} dropped voxels")
+
+
 def test_invisible_blocks_are_skipped_correctly():
     """Camera looking away: no voxel is visible; the state must be
     unchanged except n_obs (identity update via the visibility skip)."""
