@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from slam_maskrcnn_tpu.ops.boxes import apply_box_deltas, clip_boxes
-from slam_maskrcnn_tpu.ops.nms import non_max_suppression
+from slam_maskrcnn_tpu.ops.nms import nms_auto
 
 NEG_INF = -1e9
 
@@ -52,8 +52,8 @@ def refine_detections(rois: jax.Array, probs: jax.Array, deltas: jax.Array,
     offset = class_ids.astype(jnp.float32)[:, None] * 2.0
     nms_boxes = refined + offset
     nms_scores = jnp.where(keep, class_scores, NEG_INF)
-    idx, valid = non_max_suppression(nms_boxes, nms_scores, max_instances,
-                                     nms_threshold, score_threshold=NEG_INF / 2)
+    idx, valid = nms_auto(nms_boxes, nms_scores, max_instances,
+                          nms_threshold, score_threshold=NEG_INF / 2)
 
     det_boxes = refined[idx]
     det_ids = class_ids[idx].astype(jnp.float32)

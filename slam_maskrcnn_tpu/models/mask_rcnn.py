@@ -33,7 +33,8 @@ from slam_maskrcnn_tpu.models.detection import detection_layer
 from slam_maskrcnn_tpu.models.heads import FPNClassifier, MaskHead
 from slam_maskrcnn_tpu.models.proposal import generate_proposals
 from slam_maskrcnn_tpu.models.rpn import RPNHead
-from slam_maskrcnn_tpu.ops.roi_align import pyramid_roi_align
+from slam_maskrcnn_tpu.ops.roi_align import (pyramid_roi_align,
+                                             pyramid_roi_align_auto)
 
 
 class MaskRCNNModule(nn.Module):
@@ -92,7 +93,9 @@ class MaskRCNNModule(nn.Module):
             rpn_probs, rpn_bbox, anchors, self.proposal_count,
             self.rpn_nms_threshold, self.pre_nms_limit, self.rpn_bbox_std)
 
-        roi_align = lambda feats, boxes, pool: pyramid_roi_align(
+        # inference uses the backend-dispatched ROIAlign (Pallas on TPU);
+        # the training paths below keep the jnp/VJP-capable version
+        roi_align = lambda feats, boxes, pool: pyramid_roi_align_auto(
             feats, boxes, pool, self.image_shape)
 
         def heads_per_image(feats, rois):

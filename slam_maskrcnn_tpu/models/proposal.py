@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from slam_maskrcnn_tpu.ops.boxes import apply_box_deltas, clip_boxes
-from slam_maskrcnn_tpu.ops.nms import non_max_suppression
+from slam_maskrcnn_tpu.ops.nms import nms_auto
 
 
 @partial(jax.jit, static_argnames=("proposal_count", "pre_nms_limit"))
@@ -38,8 +38,8 @@ def generate_proposals(rpn_probs: jax.Array, rpn_bbox: jax.Array,
         top_anchors = anchors[ix]
         boxes = apply_box_deltas(top_anchors, top_deltas)
         boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0]))
-        idx, valid = non_max_suppression(boxes, top_scores, proposal_count,
-                                         nms_threshold)
+        idx, valid = nms_auto(boxes, top_scores, proposal_count,
+                              nms_threshold)
         props = jnp.where(valid[:, None], boxes[idx], 0.0)  # zero-pad
         return props, valid
 

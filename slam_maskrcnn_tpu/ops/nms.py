@@ -61,3 +61,20 @@ def nms_padded(boxes: jax.Array, scores: jax.Array, valid_in: jax.Array,
     scores = jnp.where(valid_in, scores, NEG_INF)
     return non_max_suppression(boxes, scores, max_output, iou_threshold,
                                score_threshold=NEG_INF / 2)
+
+
+def nms_auto(boxes: jax.Array, scores: jax.Array, max_output: int,
+             iou_threshold: float = 0.5,
+             score_threshold: float = float("-inf")):
+    """Backend-dispatched NMS: the Pallas kernel on TPU (the lax.scan
+    greedy loop costs ~20 us/iteration of dispatch — ~20 ms of the 30.8 ms
+    detect device program at 1000 proposals, PERFORMANCE.md), the scan
+    oracle elsewhere. Same contract as non_max_suppression; the two are
+    parity-tested in tests/test_ops.py."""
+    if jax.default_backend() == "tpu":
+        from slam_maskrcnn_tpu.ops.pallas.nms_kernel import (
+            non_max_suppression_pallas)
+        return non_max_suppression_pallas(boxes, scores, max_output,
+                                          iou_threshold, score_threshold)
+    return non_max_suppression(boxes, scores, max_output, iou_threshold,
+                               score_threshold)

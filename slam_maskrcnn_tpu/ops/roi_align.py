@@ -88,6 +88,21 @@ def roi_level(boxes: jax.Array, image_shape, min_level=2, max_level=5,
     return jnp.clip(lvl, min_level, max_level).astype(jnp.int32)
 
 
+def pyramid_roi_align_auto(features, boxes, pool_size: int, image_shape):
+    """Backend-dispatched PyramidROIAlign for the inference graph: the
+    Pallas rect-DMA + separable-matmul kernel on TPU (zero gathers,
+    ops/pallas/roi_align_kernel.py), this module's jnp path elsewhere.
+    Training keeps the jnp path — the kernel defines no VJP."""
+    if (jax.default_backend() == "tpu"
+            and features[0].shape[-1] % 128 == 0
+            and max(image_shape[:2]) <= 1024):
+        from slam_maskrcnn_tpu.ops.pallas.roi_align_kernel import (
+            pyramid_roi_align_pallas)
+        return pyramid_roi_align_pallas(features, boxes, pool_size,
+                                        tuple(image_shape[:2]))
+    return pyramid_roi_align(features, boxes, pool_size, image_shape)
+
+
 @partial(jax.jit, static_argnames=("pool_size", "image_shape"))
 def pyramid_roi_align(features: tuple[jax.Array, ...], boxes: jax.Array,
                       pool_size: int, image_shape) -> jax.Array:
