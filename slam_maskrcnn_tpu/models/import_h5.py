@@ -62,12 +62,54 @@ def _keras_layers(h5file):
     yield from layers.items()
 
 
-def load_h5_weights(path: str, variables, exclude=None):
+def keras_name_of(tree_path) -> tuple[str, str] | None:
+    """(layer_name, keras_weight_name) for a flat tree path, or None if the
+    leaf has no Keras counterpart. BN params live under <layer>/bn/."""
+    leaf = tree_path[-1]
+    if tree_path[-2] == "bn":
+        layer = tree_path[-3]
+        name = {"scale": "gamma:0", "bias": "beta:0",
+                "mean": "moving_mean:0", "var": "moving_variance:0"}.get(leaf)
+    else:
+        layer = tree_path[-2]
+        name = {"kernel": "kernel:0", "bias": "bias:0"}.get(leaf)
+    return (layer, name) if name else None
+
+
+def save_h5_weights(path: str, variables) -> str:
+    """Write the Flax variables tree as a Keras-layout weights h5 — the
+    inverse of load_h5_weights (layer names match the reference's
+    ``model.py`` graph by construction, so the file round-trips through
+    Keras tooling and through our strict loader)."""
+    import h5py
+
+    flat = _flatten(variables)
+    with h5py.File(path, "w") as f:
+        g = f.create_group("model_weights")
+        for tree_path, value in flat.items():
+            named = keras_name_of(tree_path)
+            if named is None:
+                continue
+            layer, wname = named
+            value = np.asarray(value)
+            if wname == "kernel:0" and "deconv" in layer and value.ndim == 4:
+                value = np.transpose(value, (0, 1, 3, 2))  # Flax -> Keras
+            grp = g.require_group(f"{layer}/{layer}")
+            grp.create_dataset(wname, data=value)
+    return path
+
+
+def load_h5_weights(path: str, variables, exclude=None,
+                    strict: bool = False):
     """Load Keras h5 weights into a Flax variables pytree by layer name.
 
     `variables`: the initialized {'params': ..., 'batch_stats': ...} tree.
     `exclude`: list of layer-name regexes to skip (the reference's
     ``exclude=`` of ``load_weights``, model.py:2095).
+    `strict`: fail loudly unless EVERY model parameter was written by the
+    file and EVERY file layer was consumed (excluded layers exempt on both
+    sides). Use for real full-model checkpoints (mask_rcnn_coco.h5) where
+    a silent partial match would run a half-initialized network.
     """
     exclude = [re.compile(p) for p in (exclude or [])]
     flat = _flatten(variables)
@@ -109,10 +151,21 @@ def load_h5_weights(path: str, variables, exclude=None):
         flat[path] = jnp.asarray(value, cur.dtype)
         return True
 
-    loaded, skipped = [], []
+    written: set = set()
+
+    def track(layer, kind, value):
+        before = dict(flat)
+        ok = set_weight(layer, kind, value)
+        if ok:
+            for p in flat:
+                if flat[p] is not before[p]:
+                    written.add(p)
+        return ok
+
+    loaded, skipped, excluded = [], [], []
     for lname, weights in _keras_layers(path):
         if any(p.search(lname) for p in exclude):
-            skipped.append(lname)
+            excluded.append(lname)
             continue
         ok = False
         for wname, value in weights.items():
@@ -121,18 +174,40 @@ def load_h5_weights(path: str, variables, exclude=None):
                 if "deconv" in lname and value.ndim == 4:
                     # Keras Conv2DTranspose [kh,kw,cout,cin] -> Flax [kh,kw,cin,cout]
                     value = np.transpose(value, (0, 1, 3, 2))
-                ok |= set_weight(lname, "kernel", value)
+                ok |= track(lname, "kernel", value)
             elif w == "bias":
-                ok |= set_weight(lname, "bias", value)
+                ok |= track(lname, "bias", value)
             elif w == "gamma":
-                ok |= set_weight(lname, "scale", value)
+                ok |= track(lname, "scale", value)
             elif w == "beta":
-                ok |= set_weight(lname, "bias_bn", value)
+                ok |= track(lname, "bias_bn", value)
             elif w == "moving_mean":
-                ok |= set_weight(lname, "mean", value)
+                ok |= track(lname, "mean", value)
             elif w == "moving_variance":
-                ok |= set_weight(lname, "var", value)
+                ok |= track(lname, "var", value)
         (loaded if ok else skipped).append(lname)
     if not loaded:
         raise ValueError(f"no layers matched between {path} and the model")
+    if strict:
+        def is_excluded(tree_path):
+            return any(p.search(comp) for p in exclude
+                       for comp in tree_path)
+
+        unmatched = sorted("/".join(p) for p in flat
+                           if p not in written and not is_excluded(p))
+        problems = []
+        if unmatched:
+            problems.append(
+                f"{len(unmatched)} model parameters not written by the "
+                f"file: {unmatched[:20]}{'...' if len(unmatched) > 20 else ''}")
+        if skipped:
+            problems.append(
+                f"{len(skipped)} file layers not consumed by the model: "
+                f"{sorted(skipped)[:20]}"
+                f"{'...' if len(skipped) > 20 else ''}")
+        if problems:
+            raise ValueError(
+                f"strict h5 import of {path} failed — a partial name "
+                "mismatch would run a half-initialized network:\n  "
+                + "\n  ".join(problems))
     return _unflatten(flat)

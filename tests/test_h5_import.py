@@ -136,6 +136,45 @@ def test_h5_import_exclude(tmp_path):
                               np.asarray(_find(flat, "conv1", "kernel")))
 
 
+def test_h5_strict_roundtrip_and_failures(tmp_path):
+    """Full-inventory round-trip through save_h5_weights passes strict
+    mode; a missing layer or an unconsumed extra layer fails loudly
+    (VERDICT: a partial name mismatch must never load silently)."""
+    import h5py
+
+    from slam_maskrcnn_tpu.models.import_h5 import (load_h5_weights,
+                                                    save_h5_weights)
+
+    model = MaskRCNN("inference", TinyConfig())
+    variables = model.init_params(0)
+    path = str(tmp_path / "full.h5")
+    save_h5_weights(path, variables)
+
+    new_vars = load_h5_weights(path, variables, strict=True)
+    nf, of = _flat(new_vars), _flat(variables)
+    for k in of:
+        np.testing.assert_array_equal(np.asarray(nf[k]), np.asarray(of[k]))
+
+    # drop one layer -> strict reports the unmatched model params
+    broken = str(tmp_path / "missing.h5")
+    with h5py.File(path, "r") as src, h5py.File(broken, "w") as dst:
+        src.copy("model_weights", dst)
+        del dst["model_weights/conv1"]
+    with pytest.raises(ValueError, match="not written"):
+        load_h5_weights(broken, variables, strict=True)
+    # ...unless the layer is excluded explicitly
+    load_h5_weights(broken, variables, strict=True, exclude=["^conv1$"])
+
+    # an extra file layer the model does not consume also fails
+    extra = str(tmp_path / "extra.h5")
+    with h5py.File(path, "r") as src, h5py.File(extra, "w") as dst:
+        src.copy("model_weights", dst)
+        grp = dst.require_group("model_weights/not_a_layer/not_a_layer")
+        grp.create_dataset("kernel:0", data=np.zeros((1, 1, 1, 1), np.float32))
+    with pytest.raises(ValueError, match="not consumed"):
+        load_h5_weights(extra, variables, strict=True)
+
+
 def test_volume_snapshot_roundtrip(tmp_path):
     from slam_maskrcnn_tpu.fusion import FusionConfig, init_state
     from slam_maskrcnn_tpu.fusion.checkpoint import load_volume, save_volume
