@@ -141,9 +141,15 @@ def extract_bboxes(mask):
     return boxes
 
 
-def load_image_gt(dataset: Dataset, config, image_id, augment=False):
+def load_image_gt(dataset: Dataset, config, image_id, augment=False,
+                  augmentation=None, rng=None):
     """Load + resize one image with gt boxes/masks
-    (= model.load_image_gt, model.py:1190-1290; flips only)."""
+    (= model.load_image_gt, model.py:1190-1290).
+
+    `augment`: legacy coin-flip fliplr (deprecated in the reference too,
+    model.py:1233-1240). `augmentation`: an Augmenter object
+    (data/augment.py — the imgaug-hook equivalent of model.py:1241-1270);
+    applied image+mask consistently, masks with nearest interpolation."""
     image = dataset.load_image(image_id)
     mask, class_ids = dataset.load_mask(image_id)
     original_shape = image.shape
@@ -157,9 +163,11 @@ def load_image_gt(dataset: Dataset, config, image_id, augment=False):
         image, window, scale, padding = out
     mask = resize_mask(mask, scale, padding, crop)
 
-    if augment and np.random.rand() < 0.5:
+    if augment and (rng or np.random).random() < 0.5:
         image = np.fliplr(image)
         mask = np.fliplr(mask)
+    if augmentation is not None and mask.shape[-1] > 0:
+        image, mask = augmentation(image, mask, rng)
 
     # drop empty masks (from cropping)
     keep = np.where(mask.any(axis=(0, 1)))[0]
@@ -187,7 +195,7 @@ def pad_to(arr, n, axis=0):
 
 
 def data_generator(dataset: Dataset, config, shuffle=True, augment=False,
-                   batch_size=None, seed=None):
+                   batch_size=None, seed=None, augmentation=None):
     """Infinite batch generator (= model.data_generator,
     model.py:1635-1805). Yields dicts of fixed-shape numpy arrays:
     images, rpn_match [B,A], rpn_bbox [B,A,4] (anchor-aligned),
@@ -214,7 +222,8 @@ def data_generator(dataset: Dataset, config, shuffle=True, augment=False,
             image_id = ids[i]
             (image, gt_class_ids, gt_boxes, gt_masks, active_ids,
              window) = load_image_gt(dataset, config, image_id,
-                                     augment=augment)
+                                     augment=augment,
+                                     augmentation=augmentation, rng=rng)
             if not np.any(gt_class_ids > 0):
                 continue
             rpn_match, rpn_bbox = build_rpn_targets(

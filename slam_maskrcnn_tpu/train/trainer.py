@@ -122,9 +122,11 @@ class Trainer:
 
     def train(self, train_dataset, val_dataset=None, learning_rate=None,
               epochs=1, layers="all", augment=False, steps_per_epoch=None,
-              verbose=1, checkpoint=True):
+              verbose=1, checkpoint=True, augmentation=None):
         """= MaskRCNN.train (model.py:2244-2330). layers: regex or one of
-        heads|3+|4+|5+|all. Trains from self.epoch to `epochs`."""
+        heads|3+|4+|5+|all. Trains from self.epoch to `epochs`.
+        `augmentation`: a data.augment.Augmenter (the imgaug-hook
+        equivalent of model.py:1241-1270)."""
         from slam_maskrcnn_tpu.data.dataset import data_generator
 
         cfg = self.config
@@ -153,7 +155,7 @@ class Trainer:
 
         anchors = jnp.asarray(get_anchors(cfg, cfg.IMAGE_SHAPE))
         gen = data_generator(train_dataset, cfg, shuffle=True,
-                             augment=augment)
+                             augment=augment, augmentation=augmentation)
         rng = jax.random.PRNGKey(self.epoch)
         variables = self.model.params
         history = []
