@@ -6,6 +6,13 @@ the vendored ``pycocotools/cocoeval.py``): per-class greedy matching at IoU
 thresholds 0.5:0.05:0.95, area-range and maxDets breakdowns, the standard
 12-line summary. Works on in-memory ground truth + results (boxes or RLE
 masks via eval/rle.py).
+
+Structured like pycocotools so a 5k-image eval is feasible: annotations are
+indexed by (image, class) once, the IoU matrix is computed once per
+(image, class) (it is area/maxDets-independent), greedy matching runs once
+per (image, class, area) at the largest maxDets, and the smaller maxDets
+settings are exact score-order slices of those matches (greedy matching of
+the top-k detections is unaffected by later detections).
 """
 
 from __future__ import annotations
@@ -69,20 +76,39 @@ class COCOevalLite:
                         np.asarray([g["bbox"] for g in gts], np.float64),
                         crowd)
 
-    def _evaluate_img(self, img_id, cat_id, area_rng, max_det):
-        gts = [g for g in self.gts
-               if g["image_id"] == img_id and g["class_id"] == cat_id]
-        dts = [d for d in self.dts
-               if d["image_id"] == img_id and d["class_id"] == cat_id]
+    def _index(self):
+        """Index annotations by (image, class) and pre-sort/pre-IoU once."""
+        if getattr(self, "_by_ic", None) is not None:
+            return
+        by_ic_g: dict = {}
+        by_ic_d: dict = {}
+        for g in self.gts:
+            by_ic_g.setdefault((g["image_id"], g["class_id"]), []).append(g)
+        for d in self.dts:
+            by_ic_d.setdefault((d["image_id"], d["class_id"]), []).append(d)
+        max_det = max(self.max_dets)
+        self._by_ic = {}
+        for key in set(by_ic_g) | set(by_ic_d):
+            gts = by_ic_g.get(key, [])
+            dts = sorted(by_ic_d.get(key, []),
+                         key=lambda d: -d["score"])[:max_det]
+            self._by_ic[key] = (gts, dts, self._iou(dts, gts))
+
+    def _evaluate_img(self, img_id, cat_id, area_rng):
+        """Greedy matching for one (image, class, area) at the largest
+        maxDets (= pycocotools evaluateImg; smaller maxDets are slices)."""
+        gts, dts, ious_full = self._by_ic.get((img_id, cat_id),
+                                              ([], [], None))
         if not gts and not dts:
             return None
         for g in gts:
             g["_ignore"] = (g.get("iscrowd", 0)
                             or g["area"] < area_rng[0]
                             or g["area"] > area_rng[1])
-        gts = sorted(gts, key=lambda g: g["_ignore"])
-        dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
-        ious = self._iou(dts, gts)
+        order = sorted(range(len(gts)), key=lambda i: gts[i]["_ignore"])
+        gts = [gts[i] for i in order]
+        ious = (ious_full[:, order] if len(gts) and len(dts)
+                else np.zeros((len(dts), len(gts))))
 
         T = len(self.iou_thrs)
         gt_m = np.zeros((T, len(gts)))
@@ -116,32 +142,40 @@ class COCOevalLite:
                     dt_ig=dt_ig, n_gt=int((~g_ig).sum()))
 
     def evaluate(self):
-        """Accumulate AP/AR over classes, IoU thresholds, areas, maxDets."""
+        """Accumulate AP/AR over classes, IoU thresholds, areas, maxDets.
+
+        Matching runs once per (class, area, image); each maxDets setting
+        is an exact slice of those matches (pycocotools accumulate
+        structure)."""
+        self._index()
         results = {}
+        T = len(self.iou_thrs)
         for area_name, area_rng in AREA_RANGES.items():
-            for max_det in self.max_dets:
-                ap_list, ar_list = [], []
-                per_t_ap = np.full((len(self.iou_thrs),), np.nan)
-                ap_per_t_acc = [[] for _ in self.iou_thrs]
-                for cat in self.cat_ids:
-                    evs = [self._evaluate_img(i, cat, area_rng, max_det)
-                           for i in self.img_ids]
-                    evs = [e for e in evs if e is not None]
-                    if not evs:
-                        continue
+            # per (cat): matches at the largest maxDets, then slice
+            acc = {md: dict(ap=[], ar=[],
+                            ap_per_t=[[] for _ in range(T)])
+                   for md in self.max_dets}
+            for cat in self.cat_ids:
+                evs = [self._evaluate_img(i, cat, area_rng)
+                       for i in self.img_ids]
+                evs = [e for e in evs if e is not None]
+                if not evs:
+                    continue
+                n_gt = sum(e["n_gt"] for e in evs)
+                if n_gt == 0:
+                    continue
+                for max_det in self.max_dets:
+                    # slice each image's detections to max_det (they are
+                    # stored score-sorted per image), then merge-sort
                     scores = np.concatenate(
-                        [np.asarray(e["dt_scores"]) for e in evs]) \
-                        if any(len(e["dt_scores"]) for e in evs) else np.zeros(0)
+                        [np.asarray(e["dt_scores"][:max_det]) for e in evs])
                     order = np.argsort(-scores, kind="mergesort")
-                    n_gt = sum(e["n_gt"] for e in evs)
-                    if n_gt == 0:
-                        continue
-                    T = len(self.iou_thrs)
                     aps, ars = [], []
                     for t in range(T):
-                        dm = np.concatenate([e["dt_m"][t] for e in evs])[order]
+                        dm = np.concatenate(
+                            [e["dt_m"][t][:max_det] for e in evs])[order]
                         dig = np.concatenate(
-                            [e["dt_ig"][t] for e in evs])[order]
+                            [e["dt_ig"][t][:max_det] for e in evs])[order]
                         keep = ~dig.astype(bool)
                         tp = np.cumsum(dm[keep] > 0)
                         fp = np.cumsum(dm[keep] == 0)
@@ -156,14 +190,16 @@ class COCOevalLite:
                                       for i in inds])
                         aps.append(q.mean())
                         ars.append(rc[-1] if len(rc) else 0.0)
-                        ap_per_t_acc[t].append(q.mean())
-                    ap_list.append(np.mean(aps))
-                    ar_list.append(np.mean(ars))
+                        acc[max_det]["ap_per_t"][t].append(q.mean())
+                    acc[max_det]["ap"].append(np.mean(aps))
+                    acc[max_det]["ar"].append(np.mean(ars))
+            for max_det in self.max_dets:
+                a = acc[max_det]
                 results[(area_name, max_det)] = dict(
-                    ap=float(np.mean(ap_list)) if ap_list else float("nan"),
-                    ar=float(np.mean(ar_list)) if ar_list else float("nan"),
-                    ap_per_thr=[float(np.mean(a)) if a else float("nan")
-                                for a in ap_per_t_acc])
+                    ap=float(np.mean(a["ap"])) if a["ap"] else float("nan"),
+                    ar=float(np.mean(a["ar"])) if a["ar"] else float("nan"),
+                    ap_per_thr=[float(np.mean(x)) if x else float("nan")
+                                for x in a["ap_per_t"]])
         self.stats = results
         return results
 

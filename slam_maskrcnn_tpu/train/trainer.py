@@ -14,6 +14,7 @@ automatically through the sharded-batch loss mean.
 
 from __future__ import annotations
 
+import os
 import re
 import time
 from functools import partial
@@ -119,6 +120,20 @@ class Trainer:
             return variables, opt_state, loss, parts
 
         return step, opt
+
+    def load_weights(self, path: str = "last", model_dir: str = "./logs"):
+        """Restore params from a checkpoint and resume its epoch counter
+        (= model.load_weights + the set_log_dir filename-regex resume,
+        model.py:2079-2115, 2208-2242). path='last' discovers the newest
+        run's newest checkpoint via find_last."""
+        if path == "last":
+            path = ckpt.find_last(model_dir, self.config.NAME or "model")
+        if self.model.params is None:
+            self.model.init_params()
+        self.model.params = ckpt.restore_params(path, self.model.params)
+        self.epoch = ckpt.epoch_from_path(path)
+        self.run_directory = os.path.dirname(os.path.abspath(path))
+        return path
 
     def train(self, train_dataset, val_dataset=None, learning_rate=None,
               epochs=1, layers="all", augment=False, steps_per_epoch=None,

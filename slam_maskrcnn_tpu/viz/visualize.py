@@ -95,6 +95,75 @@ def display_instances(image, boxes, masks, class_ids, class_names,
     return masked
 
 
+def display_differences(image, gt_box, gt_class_id, gt_mask,
+                        pred_box, pred_class_id, pred_score, pred_mask,
+                        class_names, title="", ax=None, show_mask=True,
+                        show_box=True, iou_threshold=0.5,
+                        score_threshold=0.5, show=False, save_path=None):
+    """GT and predictions on one image (= visualize.display_differences,
+    visualize.py:303-352): GT green, predictions red with the red channel
+    scaled by match IoU; captions carry score / IoU."""
+    from slam_maskrcnn_tpu.eval.metrics import compute_matches
+
+    gt_match, pred_match, overlaps = compute_matches(
+        gt_box, gt_class_id, gt_mask, pred_box, pred_class_id, pred_score,
+        pred_mask, iou_threshold=iou_threshold,
+        score_threshold=score_threshold)
+    colors = ([(0.0, 1.0, 0.0, 0.8)] * len(gt_match)
+              + [(1.0, 0.0, 0.0, 1.0)] * len(pred_match))
+    class_ids = np.concatenate([gt_class_id, pred_class_id]).astype(int)
+    scores = np.concatenate([np.zeros([len(gt_match)]), pred_score])
+    boxes = np.concatenate([gt_box, pred_box])
+    masks = np.concatenate([gt_mask, pred_mask], axis=-1)
+    captions = (["" for _ in range(len(gt_match))] + [
+        "{:.2f} / {:.2f}".format(
+            pred_score[i],
+            overlaps[i, int(pred_match[i])]
+            if pred_match[i] > -1 else overlaps[i].max()
+            if overlaps.shape[1] > 0 else 0.0)
+        for i in range(len(pred_match))])
+    return display_instances(
+        image, boxes, masks, class_ids, class_names, scores, ax=ax,
+        show_bbox=show_box, show_mask=show_mask,
+        colors=[c[:3] for c in colors], captions=captions,
+        title=title or "Ground Truth and Detections\n GT=green, pred=red",
+        show=show, save_path=save_path)
+
+
+def draw_rois(image, rois, refined_rois, mask, class_ids, class_names,
+              limit=10, seed=0, show=False, save_path=None):
+    """A random sample of proposals (dotted-gray analog: 1px gray) with
+    their refined boxes (solid color) and class captions
+    (= visualize.draw_rois, visualize.py:260-300). Returns the composite."""
+    import cv2
+
+    ids = np.arange(rois.shape[0], dtype=np.int32)
+    if rois.shape[0] > limit:
+        ids = np.random.RandomState(seed).choice(ids, limit, replace=False)
+    out = image.copy().astype(np.uint8)
+    colors = random_colors(len(ids))
+    for n, i in enumerate(ids):
+        y1, x1, y2, x2 = rois[i].astype(int)
+        cv2.rectangle(out, (x1, y1), (x2, y2), (160, 160, 160), 1)
+        if class_ids[i] > 0:
+            ry1, rx1, ry2, rx2 = refined_rois[i].astype(int)
+            c = tuple(int(v * 255) for v in colors[n])
+            cv2.rectangle(out, (rx1, ry1), (rx2, ry2), c, 2)
+            cv2.line(out, (x1, y1), (rx1, ry1), c, 1)  # connect as the ref
+            cid = int(class_ids[i])
+            label = class_names[cid] if cid < len(class_names) else str(cid)
+            cv2.putText(out, label, (rx1, max(ry1 - 4, 10)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.4, c, 1)
+            m = mask[:, :, i] if mask is not None and i < mask.shape[-1] \
+                else None
+            if m is not None:
+                out = apply_mask(out.astype(np.float32), m,
+                                 colors[n]).astype(np.uint8)
+    if save_path:
+        cv2.imwrite(save_path, out[:, :, ::-1])
+    return out
+
+
 def display_images(images, titles=None, cols=4, cmap=None, save_path=None):
     """Grid of images (visualize.py:40-57)."""
     import matplotlib

@@ -114,3 +114,27 @@ def test_train_step_data_parallel_mesh():
     # params ended up replicated across the mesh
     leaf = jax.tree.leaves(model.params)[0]
     assert len(leaf.sharding.device_set) == 4
+
+
+def test_epoch_resume_from_checkpoint(tmp_path):
+    """Saving at epoch N and loading 'last' resumes the epoch counter —
+    the reference's filename-regex resume (model.py:2208-2242)."""
+    from slam_maskrcnn_tpu.train import checkpoint as ckpt
+
+    model = MaskRCNN("training", TrainConfig())
+    variables = model.init_params(0)
+    model.params = variables
+    rd = ckpt.run_dir(str(tmp_path), "shapes_train_test")
+    p = ckpt.checkpoint_path(rd, "shapes_train_test", 3)
+    ckpt.save_params(variables, p)
+    assert ckpt.epoch_from_path(p) == 3
+
+    model2 = MaskRCNN("training", TrainConfig())
+    tr = Trainer(model2)
+    loaded = tr.load_weights("last", model_dir=str(tmp_path))
+    assert loaded.endswith("_0003")
+    assert tr.epoch == 3
+    assert tr.run_directory == rd
+    a = jax.tree.leaves(variables)[0]
+    b = jax.tree.leaves(model2.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
