@@ -146,6 +146,30 @@ def mean_depth(depth: np.ndarray, depth_scale: float = 5000.0) -> float:
     return float((depth[valid].astype(np.float64) / depth_scale).mean())
 
 
+def filter_gaussian(depth: np.ndarray, iters: int = 1):
+    """Iterative 3-sigma depth outlier rejection, the TSDF_CPP prototype's
+    preprocessing (``src/TSDF_CPP/main.cpp:40-91``): per pass, zero every
+    nonzero pixel beyond 3 standard deviations of the nonzero mean, and
+    return the survivors' mean (RAW sensor units, as the reference —
+    callers divide by the depth scale). "Can be performed multiple times"
+    per the reference comment; `iters` controls that. In-place on a copy.
+    """
+    depth = depth.copy()
+    mean = 0.0
+    for _ in range(max(iters, 1)):
+        vals = depth[depth > 0].astype(np.float64)
+        if vals.size == 0:
+            return depth, 0.0
+        mean = vals.mean()
+        std = vals.std()  # population std, as the reference's MLE
+        kill = (depth > 0) & (np.abs(depth.astype(np.float64) - mean)
+                              > 3.0 * std)
+        depth[kill] = 0
+        vals = depth[depth > 0].astype(np.float64)
+        mean = vals.mean() if vals.size else 0.0
+    return depth, float(mean)
+
+
 def match_timestamps(depth_ts: np.ndarray, mask_ts: np.ndarray,
                      begin: float = -np.inf, end: float = np.inf,
                      max_frames: int | None = None):

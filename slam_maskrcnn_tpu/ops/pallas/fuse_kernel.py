@@ -16,10 +16,16 @@ voxels ≈ 650 ms/frame at 256³. This kernel eliminates ALL gathers:
   (RowOH [2048, RECT_H] @ rect [RECT_H, RECT_W]) followed by a one-hot
   column select on the VPU. Depth+mask and the 3 color bytes are packed
   into two f32 tables (<2^24, so f32 integer arithmetic is exact).
-* The per-voxel instance histogram is stored voxel-major ([NB, 16, 128*K],
-  lane = l*K + k) so each voxel's K bins are contiguous — one row-gather
-  fetches a full histogram (the splat renderer/probe rely on this). The
-  update is a repeat+compare+add — dense VPU work on the blocked tile.
+* The per-voxel instance histogram is stored voxel-major as
+  [NB, BLOCK_VOX*K/128, 128] — 128-lane rows of 128/K voxels' contiguous
+  K-bin groups (row r holds voxels 4r..4r+3 for K=32). This is the
+  row-gather-native layout: the splat probe/renderer fetch a pixel's full
+  histogram with ONE fast row gather + a lane one-hot select (~35 ms for
+  307k pixels measured) — the [16, 128*K] view of the same bytes would
+  need (1,1,K)-slice gathers, which XLA executes ~50x slower (~2.3 us
+  per slice, measured; see PERFORMANCE.md). The in-kernel update builds
+  the one-hot in this layout via a tiny row-select matmul + Mosaic's
+  equal-shape take_along_axis (tpu.dynamic_gather).
 
 Semantics are bit-identical to fusion/fuse.py (same reference parity,
 src/SfM_CUDA/tsdf.cu:18-70) except voxels whose projected pixel falls
@@ -56,7 +62,8 @@ class BlockedTSDFState(struct.PyTreeNode):
     diff: jax.Array      # f32 [NB, 16, 128]
     colorpk: jax.Array   # f32 [NB, 16, 128]  b + g*256 + r*65536
     weight: jax.Array    # i32 [NB, 16, 128]
-    hist: jax.Array      # u16 [NB, 16, 128*K]  lane = l*K + k (voxel-major)
+    hist: jax.Array      # u16 [NB, 2048*K/128, 128]  row r = voxels
+    #                      [r*128//K, ...), lane = (v % (128//K))*K + k
     vol_start: jax.Array
     vol_end: jax.Array
     voxel: jax.Array
@@ -88,9 +95,10 @@ def to_blocked(state: TSDFState, cfg: FusionConfig) -> BlockedTSDFState:
     color = state.color.astype(jnp.float32)
     colorpk = color[..., 0] + color[..., 1] * 256.0 + color[..., 2] * 65536.0
     K = state.hist.shape[-1]
+    assert 128 % K == 0, f"max_objects {K} must divide 128"
     h = state.hist.reshape(nbx, BX, nby, BY, nbz, BZ, K)
     h = h.transpose(0, 2, 4, 1, 3, 5, 6)  # [nbx,nby,nbz, BX,BY,BZ, K]
-    h = h.reshape(NB, TILE_S, TILE_L * K).astype(jnp.uint16)
+    h = h.reshape(NB, BLOCK_VOX * K // 128, 128).astype(jnp.uint16)
     return BlockedTSDFState(
         diff=blk(state.diff), colorpk=blk(colorpk),
         weight=blk(state.weight), hist=h,
@@ -107,6 +115,7 @@ def init_blocked(cfg: FusionConfig, vol_start, vol_end,
     nbx, nby, nbz = _block_dims(dim)
     NB = nbx * nby * nbz
     K = cfg.max_objects
+    assert 128 % K == 0, f"max_objects {K} must divide 128"
     vol_start = jnp.asarray(vol_start, jnp.float32)
     vol_end = jnp.asarray(vol_end, jnp.float32)
     voxel = (vol_end - vol_start) / (jnp.asarray(dim, jnp.float32) - 1.0)
@@ -115,7 +124,7 @@ def init_blocked(cfg: FusionConfig, vol_start, vol_end,
         diff=jnp.full((NB, TILE_S, TILE_L), mu, jnp.float32),
         colorpk=jnp.zeros((NB, TILE_S, TILE_L), jnp.float32),
         weight=jnp.zeros((NB, TILE_S, TILE_L), jnp.int32),
-        hist=jnp.zeros((NB, TILE_S, TILE_L * K), jnp.uint16),
+        hist=jnp.zeros((NB, BLOCK_VOX * K // 128, 128), jnp.uint16),
         vol_start=vol_start, vol_end=vol_end, voxel=voxel, mu=mu,
         n_obs=jnp.zeros((), jnp.int32),
         num_objs=jnp.asarray(num_objs, jnp.int32),
@@ -146,7 +155,7 @@ def to_dense(b: BlockedTSDFState, cfg: FusionConfig) -> TSDFState:
     red = jnp.floor(colorpk / 65536.0)
     color = jnp.stack([unblk(blue), unblk(green), unblk(red)],
                       axis=-1).astype(jnp.uint8)
-    K = b.hist.shape[-1] // TILE_L
+    K = b.hist.shape[1] * 128 // BLOCK_VOX
     h = b.hist.reshape(nbx, nby, nbz, BX, BY, BZ, K)
     h = h.transpose(0, 3, 1, 4, 2, 5, 6)
     h = h.reshape(dim + (K,)).astype(cfg.hist_dtype)
@@ -290,17 +299,23 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*3] i32 (v0,u0,vis)
 
     rh_i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK_VOX, rect_h), 1)
 
-    # lane-expansion matrix for the hist update: Rexp[l, j] = (l == j // K).
-    # m_rep = m @ Rexp realizes m_rep[s, l*K+k] = m[s, l] on the MXU —
-    # Mosaic's lane-gather can't source >128 lanes, so an equal-shape
-    # take_along_axis over [16, 128*K] is not available.
-    l_of_j = jax.lax.broadcasted_iota(jnp.int32, (TILE_L, TILE_L * K), 1) // K
-    l_row = jax.lax.broadcasted_iota(jnp.int32, (TILE_L, TILE_L * K), 0)
-    # bf16 halves the resident constant; operands (<= K-1 and 0/1) are
-    # bf16-exact and the one-term sums stay exact
-    rexp = (l_of_j == l_row).astype(jnp.bfloat16)
-    k_pat = (jax.lax.broadcasted_iota(jnp.int32, (TILE_S, TILE_L * K), 1)
-             % K).astype(jnp.float32)
+    # hist update in the row-native [HR, 128] layout (HR = 2048*K/128):
+    # row r holds voxels v = r*VPK + j//K (VPK = 128//K voxels per row),
+    # lane j = (v % VPK)*K + k. Per-voxel scalars live in the (16, 128)
+    # tile layout (v = s*128 + l); bringing them to [HR, 128] is a
+    # sublane-replication matmul (each s-row appears 128/VPK... = 2048/128
+    # copies interleaved) followed by Mosaic's equal-shape lane gather
+    # (take_along_axis on <=128 lanes -> tpu.dynamic_gather).
+    VPK = TILE_L // K                      # voxels per 128-lane hist row
+    HR = BLOCK_VOX * K // TILE_L           # hist rows per block
+    rows_per_s = TILE_L // VPK             # hist rows per (16,128) s-row
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (HR, TILE_S), 0)
+    s_i2 = jax.lax.broadcasted_iota(jnp.int32, (HR, TILE_S), 1)
+    rsel = (s_i2 == r_i // rows_per_s).astype(jnp.bfloat16)  # [HR, 16]
+    rj = jax.lax.broadcasted_iota(jnp.int32, (HR, TILE_L), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (HR, TILE_L), 1)
+    lane_src = (rj % rows_per_s) * VPK + jj // K   # l of voxel at (r, j)
+    k_lane = (jj % K).astype(jnp.float32)
 
     for g in range(GROUP):
         blk = step * GROUP + g
@@ -433,12 +448,17 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*3] i32 (v0,u0,vis)
             new_cpk = ub + ug * 256.0 + ur * 65536.0
             colorpk_out[g] = jnp.where(gate, new_cpk, cpk)
 
-            # histogram: voxel-major lanes (j = l*K + k); expansion via MXU
-            m_rep = jnp.dot(m_clip.astype(jnp.bfloat16), rexp,
-                            preferred_element_type=jnp.float32)
-            g_rep = jnp.dot(gate.astype(jnp.bfloat16), rexp,
-                            preferred_element_type=jnp.float32)
-            oh = (m_rep == k_pat) & (g_rep > 0.5)
+            # histogram in the row-native layout: replicate each s-row of
+            # (m, gate) to its hist rows on the MXU (bf16-exact: values
+            # <= K-1 and 0/1, one-term sums), then lane-gather the voxel
+            # column and compare against the k lane pattern
+            m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+            g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+            m_exp = jnp.take_along_axis(m2, lane_src, axis=1)
+            g_exp = jnp.take_along_axis(g2, lane_src, axis=1)
+            oh = (m_exp == k_lane) & (g_exp > 0.5)
             hist_out[g] = hist_ref[g] + oh.astype(jnp.uint16)
 
             wt_out[g] = wt_ref[g] + valid.astype(jnp.int32)
@@ -462,7 +482,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     shard_map (parallel/sharding.py fuses a volume-sharded state by giving
     each shard a local BlockedTSDFState with a shifted vol_start)."""
     H, W = depth.shape
-    K = b.hist.shape[-1] // TILE_L
+    K = b.hist.shape[1] * TILE_L // BLOCK_VOX
     NB = b.diff.shape[0]
     assert NB % GROUP == 0
 
@@ -507,7 +527,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, TILE_S, TILE_L * K),
+            pl.BlockSpec((GROUP, BLOCK_VOX * K // TILE_L, TILE_L),
                          lambda i, o: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -517,7 +537,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, TILE_S, TILE_L * K),
+            pl.BlockSpec((GROUP, BLOCK_VOX * K // TILE_L, TILE_L),
                          lambda i, o: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],

@@ -24,8 +24,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1.0e9  # python float: jnp constants would be captured tracers in the kernel
 
 
-def _nms_kernel(boxes_ref, scores_ref, idx_ref, valid_ref, sc,
-                *, max_output: int, iou_threshold: float, n: int):
+def _nms_kernel(boxes_ref, scores_ref, thr_ref, idx_ref, valid_ref, sc,
+                *, max_output: int, n: int):
+    # iou_threshold arrives as an SMEM scalar input: call sites pass it as
+    # a traced value (generate_proposals jits it non-static), and a pallas
+    # kernel may not capture traced constants from the enclosing trace
+    iou_threshold = thr_ref[0]
     sc[:] = scores_ref[:]
     y1 = boxes_ref[0:1, :]
     x1 = boxes_ref[1:2, :]
@@ -67,29 +71,30 @@ def _nms_kernel(boxes_ref, scores_ref, idx_ref, valid_ref, sc,
     jax.lax.fori_loop(0, max_output, body, 0)
 
 
-@partial(jax.jit, static_argnames=("max_output", "iou_threshold"))
-def _nms_pallas_jit(boxes, scores, max_output: int, iou_threshold: float):
+@partial(jax.jit, static_argnames=("max_output",))
+def _nms_pallas_jit(boxes, scores, max_output: int, iou_threshold):
     n = boxes.shape[0]
     n_pad = (n + 127) // 128 * 128
     boxes_t = jnp.pad(boxes.T.astype(jnp.float32),
                       ((0, 0), (0, n_pad - n)))
     scores_p = jnp.pad(scores.astype(jnp.float32), (0, n_pad - n),
                        constant_values=NEG)[None, :]
+    thr = jnp.asarray(iou_threshold, jnp.float32).reshape(1)
     m_pad = (max_output + 127) // 128 * 128
 
-    kern = partial(_nms_kernel, max_output=m_pad,
-                   iou_threshold=iou_threshold, n=n_pad)
+    kern = partial(_nms_kernel, max_output=m_pad, n=n_pad)
     idx, valid = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((1, m_pad), jnp.int32),
                    jax.ShapeDtypeStruct((1, m_pad), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((1, n_pad), jnp.float32)],
         interpret=jax.default_backend() == "cpu",
-    )(boxes_t, scores_p)
+    )(boxes_t, scores_p, thr)
     return idx[0, :max_output], valid[0, :max_output] == 1
 
 

@@ -145,7 +145,7 @@ def make_sharded_fusion_step(cfg, mesh: Mesh, axis: str = "data",
             zbuf, vid, _ = _splat_zbuffer_arrays(
                 stl.diff, stl.vol_start, stl.voxel, M, m4, H, W,
                 stl.nby, stl.nbz, max_blocks)
-            Kb = stl.hist.shape[-1] // stl.diff.shape[-1]
+            Kb = stl.hist.shape[1] * 128 // 2048
             vd2 = vid.reshape(H, W)
             rows = _gather_hist_rows(stl.hist, jnp.maximum(vd2, 0),
                                      Kb).astype(jnp.float32)

@@ -83,3 +83,34 @@ def test_mean_depth():
     d[1, 1] = 10000
     assert abs(mean_depth(d) - 1.5) < 1e-9
     assert mean_depth(np.zeros((2, 2), np.uint16)) == 0.0
+
+
+def test_filter_gaussian_three_sigma():
+    """TSDF_CPP main.cpp:40-91 semantics: outliers beyond 3 sigma of the
+    nonzero population zero out; the returned mean is over survivors in
+    raw units. Verified against a literal loop transcription."""
+    from slam_maskrcnn_tpu.data.tum import filter_gaussian
+
+    rng = np.random.RandomState(0)
+    depth = rng.normal(5000, 100, (40, 50)).astype(np.uint16)
+    depth[0, :10] = 0                      # invalid pixels stay invalid
+    depth[5, 5] = 30000                    # gross outlier
+    depth[6, 6] = 1                        # low outlier
+
+    out, mean = filter_gaussian(depth)
+
+    # literal single-pass reference
+    vals = depth[depth > 0].astype(np.float64)
+    m0, s0 = vals.mean(), vals.std()
+    expect = depth.copy()
+    kill = (depth > 0) & (np.abs(depth.astype(np.float64) - m0) > 3 * s0)
+    expect[kill] = 0
+    np.testing.assert_array_equal(out, expect)
+    assert out[5, 5] == 0 and out[6, 6] == 0
+    assert out[0, 0] == 0
+    sur = expect[expect > 0].astype(np.float64)
+    assert abs(mean - sur.mean()) < 1e-9
+    # repeated application converges (reference: "can be performed
+    # multiple times")
+    out2, _ = filter_gaussian(depth, iters=3)
+    assert (out2 > 0).sum() <= (out > 0).sum()
