@@ -1,9 +1,18 @@
-"""Headline benchmark: semantic TSDF fusion throughput on real TPU.
+"""Headline benchmark — the BASELINE.md metric set on the real TPU.
 
-Measures steady-state fused frames/sec of the full per-frame device step
-(splat probe -> Bayesian association -> mask relabel -> Pallas fusion) at
-the reference workload: 480x640 RGB-D frames into a 256^3 volume with
-32-bin instance histograms (src/SfM_CUDA constants, SURVEY §6).
+Headline metric (the JSON line): steady-state fused frames/sec of the full
+per-frame fusion device step (splat probe -> Bayesian association -> mask
+relabel -> Pallas fusion) at the reference workload: 480x640 RGB-D into a
+256^3 volume with 32-bin instance histograms (src/SfM_CUDA constants,
+SURVEY §6). The same line carries the rest of the BASELINE metric set as
+extra keys:
+
+  detect_ms        Mask R-CNN inference, 1024^2 resnet101, per frame
+                   (chained device dispatch; includes the axon relay)
+  raycast_fps      orbit splat render of the fused 256^3 volume, 480x640
+  fused_fps_512    the fusion step at the 512^3 north-star volume
+  e2e_fps          LivePipeline: detect -> dmask -> fuse(256^3) -> render
+  rect_misses      fuse-kernel dropped-voxel count on the last 256^3 frame
 
 Baseline: the reference publishes no numbers (BASELINE.md); the driver-set
 north star is 30 fused frames/sec on one v5e — vs_baseline is fps/30.
@@ -13,12 +22,18 @@ reliably block on the axon platform (PERFORMANCE.md).
 """
 
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
 
 
-def main():
+def _stage(name):
+    print(f"[bench] {name}...", file=sys.stderr, flush=True)
+
+
+def bench_fusion(vol, n_frames, H=480, W=640):
     import jax
     import jax.numpy as jnp
 
@@ -29,10 +44,8 @@ def main():
     from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
         init_blocked_from_first_frame)
 
-    H, W = 480, 640
     K4 = make_intrinsic(520.9, 521.0, 325.1, 249.7)  # kernel.cpp:39
-    cfg = FusionConfig(vol_dim=(256, 256, 256), hist_dtype=jnp.uint16)
-
+    cfg = FusionConfig(vol_dim=(vol,) * 3, hist_dtype=jnp.uint16)
     frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
     state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
                                           frames[0]["mean_depth"])
@@ -44,25 +57,141 @@ def main():
                        jnp.asarray(fr["mask"]), jnp.asarray(e2i)))
     Kj = jnp.asarray(K4)
 
-    # warm up / compile (includes the association branch from frame 2 on)
-    for i in range(2):
+    for i in range(2):  # compile (incl. the association branch)
         state, mask_g, miss = fusion_step_blocked(state, *staged[i], Kj, cfg)
     _ = float(jnp.sum(state.weight))
 
-    n = 12
     t0 = time.time()
-    for i in range(n):
+    for i in range(n_frames):
         state, mask_g, miss = fusion_step_blocked(state, *staged[i % 3],
                                                   Kj, cfg)
-    # readback forces completion of the whole chain
     chk = float(jnp.sum(state.weight)) + float(jnp.sum(mask_g))
     dt = time.time() - t0
-    fps = n / dt
+    return n_frames / dt, int(miss), (state, Kj, cfg, frames[0])
+
+
+def bench_raycast(state, Kj, cfg, H=480, W=640, n=20):
+    import jax.numpy as jnp
+
+    from slam_maskrcnn_tpu.fusion.splat import pinhole_of_orbit, splat_render
+
+    dist = 1.5
+    M, m4 = pinhole_of_orbit(0.01, dist, Kj)
+    img = splat_render(state, M, m4, H, W, cfg)
+    _ = int(np.asarray(img)[0, 0, 0])
+    t0 = time.time()
+    for k in range(n):
+        M, m4 = pinhole_of_orbit(0.01 * (k + 2), dist, Kj)
+        img = splat_render(state, M, m4, H, W, cfg)
+    _ = int(np.asarray(img)[0, 0, 0])
+    return n / (time.time() - t0)
+
+
+def bench_detect(n=8):
+    import jax
+    import jax.numpy as jnp
+
+    from slam_maskrcnn_tpu.models import Config, MaskRCNN, get_anchors
+
+    class BenchConfig(Config):
+        NAME = "bench"
+        BACKBONE = "resnet101"
+        NUM_CLASSES = 81
+        IMAGES_PER_GPU = 1
+        GPU_COUNT = 1
+
+    cfg = BenchConfig()
+    model = MaskRCNN("inference", cfg)
+    variables = model.init_params(0)
+    anchors = jnp.asarray(get_anchors(cfg, cfg.IMAGE_SHAPE))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(1, 1024, 1024, 3).astype(np.float32))
+    windows = jnp.asarray([[0.109375, 0.0, 0.890625, 1.0]], jnp.float32)
+    fwd = jax.jit(lambda v, im, a, w: model.module.apply(v, im, a, w))
+    out = fwd(variables, images, anchors, windows)
+    _ = float(jnp.sum(out["detections"]))
+    t0 = time.time()
+    for _i in range(n):
+        out = fwd(variables, images, anchors, windows)
+    _ = float(jnp.sum(out["detections"]))
+    return (time.time() - t0) / n * 1000.0, (model, variables)
+
+
+def bench_e2e(model_pack, n_frames=6, H=480, W=640):
+    """LivePipeline: detect -> dmask -> fuse(256^3) -> render every frame."""
+    import jax.numpy as jnp
+
+    from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
+    from slam_maskrcnn_tpu.fusion import FusionConfig
+    from slam_maskrcnn_tpu.fusion.state import make_intrinsic
+    from slam_maskrcnn_tpu.samples.live_pipeline import LivePipeline
+
+    model, variables = model_pack
+    model.params = variables
+    K4 = make_intrinsic(520.9, 521.0, 325.1, 249.7)
+    frames = make_sequence(default_scene(), K4, H, W,
+                           n_frames=n_frames + 2)
+    pipe = LivePipeline(model, K4,
+                        FusionConfig(vol_dim=(256,) * 3,
+                                     hist_dtype=jnp.uint16),
+                        backend="pallas", use_depth_filter=True,
+                        render_every=1, render_size=(H, W))
+    # warm (compiles detect at this size + fusion + render)
+    for fr in frames[:2]:
+        pipe.step(fr["depth"], fr["color"], fr["extrinsic"],
+                  fr["mean_depth"])
+    t0 = time.time()
+    for fr in frames[2:]:
+        pipe.step(fr["depth"], fr["color"], fr["extrinsic"],
+                  fr["mean_depth"])
+    _ = float(np.asarray(pipe.renders[-1]).sum())
+    return n_frames / (time.time() - t0)
+
+
+def main():
+    extra = {}
+
+    _stage("fusion 256^3")
+    fps256, misses, (state, Kj, cfg, _f0) = bench_fusion(256, 12)
+    extra["rect_misses"] = misses
+
+    _stage("raycast")
+    try:
+        extra["raycast_fps"] = round(bench_raycast(state, Kj, cfg), 2)
+    except Exception:
+        traceback.print_exc()
+    del state
+
+    _stage("fusion 512^3")
+    try:
+        fps512, miss512, pack = bench_fusion(512, 4)
+        extra["fused_fps_512"] = round(fps512, 3)
+        extra["rect_misses_512"] = miss512
+        del pack
+    except Exception:
+        traceback.print_exc()
+
+    _stage("detect 1024^2")
+    model_pack = None
+    try:
+        detect_ms, model_pack = bench_detect()
+        extra["detect_ms"] = round(detect_ms, 1)
+    except Exception:
+        traceback.print_exc()
+
+    _stage("end-to-end pipeline")
+    try:
+        if model_pack is not None:
+            extra["e2e_fps"] = round(bench_e2e(model_pack), 3)
+    except Exception:
+        traceback.print_exc()
+
     print(json.dumps({
         "metric": "tsdf_fused_frames_per_sec_256c",
-        "value": round(fps, 3),
+        "value": round(fps256, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / 30.0, 4),
+        "vs_baseline": round(fps256 / 30.0, 4),
+        **extra,
     }))
 
 

@@ -74,6 +74,12 @@ def nms_auto(boxes: jax.Array, scores: jax.Array, max_output: int,
     if jax.default_backend() == "tpu":
         from slam_maskrcnn_tpu.ops.pallas.nms_kernel import (
             non_max_suppression_pallas)
+        # NMS selection is non-differentiable (integer indices + validity);
+        # cut tangents so grad tracing in the training graph never invokes
+        # the pallas JVP rule (reference: tf NMS is likewise a gradient
+        # boundary)
+        boxes = jax.lax.stop_gradient(boxes)
+        scores = jax.lax.stop_gradient(scores)
         return non_max_suppression_pallas(boxes, scores, max_output,
                                           iou_threshold, score_threshold)
     return non_max_suppression(boxes, scores, max_output, iou_threshold,

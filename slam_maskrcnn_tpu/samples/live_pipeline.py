@@ -59,6 +59,7 @@ class LivePipeline:
         self.frames_done = 0
         self.renders = []
         self.timings = {"detect": 0.0, "fuse": 0.0, "render": 0.0}
+        self._viewer = None  # constructed once on first render
 
     def step(self, depth: np.ndarray, color_bgr: np.ndarray,
              extrinsic: np.ndarray, mean_depth: float | None = None):
@@ -79,13 +80,15 @@ class LivePipeline:
         if (self.render_every and out is not None
                 and self.frames_done % self.render_every == 0):
             t0 = time.perf_counter()
-            from slam_maskrcnn_tpu.viz.viewer import Viewer
+            if self._viewer is None:
+                from slam_maskrcnn_tpu.viz.viewer import Viewer
 
-            H, W = self.render_size or depth.shape
-            viewer = Viewer(W, H, self.fusion.intrinsic, self.fusion.cfg)
-            img = viewer.render(self.fusion.state,
-                                0.01 * self.frames_done,
-                                self.fusion.mean_depth)
+                H, W = self.render_size or depth.shape
+                self._viewer = Viewer(W, H, self.fusion.intrinsic,
+                                      self.fusion.cfg)
+            img = self._viewer.render(self.fusion.state,
+                                      0.01 * self.frames_done,
+                                      self.fusion.mean_depth)
             self.renders.append(img)
             self.timings["render"] += time.perf_counter() - t0
         return mask, out

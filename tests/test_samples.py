@@ -300,3 +300,27 @@ def test_batch_mask_process_writes_label_pngs(tmp_path):
     m = cv2.imread(str(out_dir / outs[0]), cv2.IMREAD_GRAYSCALE)
     assert m.shape == (96, 128)
     assert m.dtype == np.uint8  # label-encoded instance ids
+
+
+def test_patchmatch_recovers_slanted_plane():
+    """The slanted-plane model (utils.py:230-239) must track a disparity
+    that varies linearly across the image — a fronto-parallel-only model
+    stair-steps here."""
+    import cv2
+
+    rng = np.random.default_rng(5)
+    right = (rng.random((40, 96)) * 255).astype(np.float32)
+    right = cv2.GaussianBlur(right, (5, 5), 1.2)
+    xs = np.arange(96, dtype=np.float32)
+    d_true = 3.0 + xs * 0.08          # 3..10.7 px across the image
+    left = np.empty_like(right)
+    for y in range(right.shape[0]):
+        left[y] = np.interp(xs - d_true, xs, right[y],
+                            left=right[y, 0], right=right[y, -1])
+    # left(x) = right(x - d): warp so PatchMatch's sampling convention holds
+    left = np.roll(left[:, ::-1], 0, axis=1)[:, ::-1]
+    pm = PatchMatch(left, right, patch=7, max_disp=16, seed=0)
+    disp = pm.run(iters=6)
+    inner = disp[8:-8, 16:-8]
+    err = np.abs(inner - d_true[None, 16:-8])
+    assert np.median(err) < 1.2, f"median err {np.median(err):.2f}"
