@@ -142,7 +142,7 @@ def extract_bboxes(mask):
 
 
 def load_image_gt(dataset: Dataset, config, image_id, augment=False,
-                  augmentation=None, rng=None):
+                  augmentation=None, rng=None, use_mini_mask=None):
     """Load + resize one image with gt boxes/masks
     (= model.load_image_gt, model.py:1190-1290).
 
@@ -181,7 +181,9 @@ def load_image_gt(dataset: Dataset, config, image_id, augment=False,
         list(range(config.NUM_CLASSES)))
     active_class_ids[source_ids] = 1
 
-    if config.USE_MINI_MASK:
+    if use_mini_mask is None:
+        use_mini_mask = config.USE_MINI_MASK
+    if use_mini_mask:
         mask = minimize_mask(bbox, mask, config.MINI_MASK_SHAPE)
     return image, class_ids, bbox, mask, active_class_ids, window
 

@@ -79,14 +79,17 @@ def pinhole_of_orbit(angle, dist, intrinsic):
     return M, m4
 
 
-def splat_zbuffer(b, M, m4, H, W, max_blocks: int = 4096):
+def splat_zbuffer(b, M, m4, H, W, max_blocks: int = 4096,
+                  max_surface: int = 512 * 1024):
     """Core splat (see _splat_zbuffer_arrays). Convenience pytree entry."""
     return _splat_zbuffer_arrays(b.diff, b.vol_start, b.voxel, M, m4,
-                                 H, W, b.nby, b.nbz, max_blocks)
+                                 H, W, b.nby, b.nbz, max_blocks,
+                                 max_surface)
 
 
 def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
-                          nby: int, nbz: int, max_blocks: int = 4096):
+                          nby: int, nbz: int, max_blocks: int = 4096,
+                          max_surface: int = 512 * 1024):
     """Core splat: returns (zbuf [H*W] f32, winner voxel id [H*W] i32 with
     -1 for empty, n_active_blocks). Voxel id = blk * 2048 + s * 128 + l,
     indexing the flat voxel-major views of the blocked arrays.
@@ -137,7 +140,7 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     # compact visible surface voxels before the scatters: gather/scatter
     # costs ~12 ns/index (PERFORMANCE.md), so shrinking the index set from
     # max_blocks*2048 to ~max_surface dominates the splat cost
-    max_surface = min(max_blocks * 2048 // 8, 512 * 1024)
+    max_surface = min(max_blocks * 2048 // 8, max_surface)
     (sel,) = jnp.nonzero(vis.reshape(-1), size=max_surface,
                          fill_value=vis.size)
     sel_ok = sel < vis.size
@@ -246,7 +249,8 @@ def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
     box_mask [H, W, K] bool) — nearest-voxel counts instead of trilinear
     interpolation (fast mode)."""
     M, m4 = pinhole_of_extrinsic(extrinsic2init, intrinsic)
-    zbuf, vid, _ = splat_zbuffer(b, M, m4, H, W, max_blocks)
+    zbuf, vid, _ = splat_zbuffer(b, M, m4, H, W, cfg.splat_max_blocks,
+                                 cfg.splat_max_surface)
     zb2, vd2 = _fill_holes(zbuf.reshape(H, W), vid.reshape(H, W))
     have = vd2 >= 0
     vsafe = jnp.maximum(vd2, 0)

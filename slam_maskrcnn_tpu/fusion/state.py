@@ -67,8 +67,14 @@ class FusionConfig:
     # Pallas fuse kernel: per-block image rect (h, w). Must bound the
     # projected footprint of one (8, 8, 32)-voxel block; the kernel reports
     # a miss count when exceeded (fall back to the XLA path then).
-    # Mosaic lane rules require both to be multiples of 128.
+    # h is DMA-sublane-aligned (multiple of 8); w needs footprint + 128
+    # lane-alignment slack and must be a multiple of 128.
     pallas_rect: tuple = (128, 384)
+    # splat probe/renderer compaction budgets: blocks holding surface, and
+    # visible surface voxels kept for the z-buffer scatters (scatter cost
+    # scales with these static sizes; PERFORMANCE.md)
+    splat_max_blocks: int = 4096
+    splat_max_surface: int = 512 * 1024
     # "majority-vote" single-id mode of the TSDF_Python prototype
     # (src/TSDF_Python/tsdf.cu:48-57): Boyer-Moore count instead of the full
     # histogram — 1/max_objects the memory. Optional compatibility mode.

@@ -45,7 +45,7 @@ def evaluate_map(model, dataset, config, image_ids, iou_threshold=0.5,
     aps = []
     for image_id in image_ids:
         image, gt_class_id, gt_bbox, gt_mask, _, _ = load_image_gt(
-            dataset, config, image_id)
+            dataset, config, image_id, use_mini_mask=False)
         r = model.detect([image])[0]
         ap, _, _, _ = compute_ap(
             gt_bbox.astype(np.float32), gt_class_id, gt_mask,

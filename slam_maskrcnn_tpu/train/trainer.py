@@ -191,8 +191,11 @@ class Trainer:
             mean_loss = float(np.mean(losses))
             history.append(mean_loss)
             if verbose:
+                part_s = " ".join(f"{k}={float(v):.3f}"
+                                  for k, v in sorted(parts.items()))
                 print(f"epoch {epoch + 1}/{epochs} loss {mean_loss:.4f} "
-                      f"({time.time() - t0:.1f}s, lr {lr}, layers {layers})")
+                      f"({time.time() - t0:.1f}s, lr {lr}, layers {layers}) "
+                      f"[{part_s}]")
             if checkpoint:
                 ckpt.save_params(
                     variables,

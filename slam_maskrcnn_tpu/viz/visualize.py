@@ -270,6 +270,21 @@ def plot_overlaps(gt_class_ids, pred_class_ids, pred_scores, overlaps,
     return fig
 
 
+def display_activations(activations, channels=8, cols=8, cmap="viridis",
+                        save_path=None):
+    """Channel grid of an intermediate activation [H, W, C] (the
+    inspect_model notebook's ``display_images(... activations)`` cells;
+    pair with models/inspect.run_graph to fetch them)."""
+    act = np.asarray(activations)
+    if act.ndim == 4:
+        act = act[0]
+    C = act.shape[-1]
+    imgs = [act[:, :, i] for i in range(min(channels, C))]
+    titles = [f"ch {i}" for i in range(len(imgs))]
+    return display_images(imgs, titles=titles, cols=cols, cmap=cmap,
+                          save_path=save_path)
+
+
 def display_weight_stats(model):
     """Weight table rows (the reference's display_weight_stats,
     visualize.py:455-479) via models.inspect.weight_stats."""
