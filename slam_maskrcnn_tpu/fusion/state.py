@@ -75,6 +75,11 @@ class FusionConfig:
     # scales with these static sizes; PERFORMANCE.md)
     splat_max_blocks: int = 4096
     splat_max_surface: int = 512 * 1024
+    # fuse pass B budget: blocks whose projected footprint exceeds the
+    # rect (very-near-camera or camera-plane-straddling blocks) are fused
+    # in a second full-image-rect pass over a compacted subset of at most
+    # this many blocks; overflow is counted into `misses`
+    near_block_budget: int = 128
     # "majority-vote" single-id mode of the TSDF_Python prototype
     # (src/TSDF_Python/tsdf.cu:48-57): Boyer-Moore count instead of the full
     # histogram — 1/max_objects the memory. Optional compatibility mode.

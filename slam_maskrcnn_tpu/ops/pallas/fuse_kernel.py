@@ -222,27 +222,30 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     v0 = jnp.clip(v0, 0, v_hi)
     u0 = jnp.where(jnp.isfinite(umin), u0, 0)
     v0 = jnp.where(jnp.isfinite(vmin), v0, 0)
-    # conservative visibility: the block's projected bbox overlaps the
-    # image and at least one corner is in front of the camera. A block that
-    # straddles the camera plane (some corners front, some behind — camera
-    # inside/near the volume) has an unreliable projected bbox: the convex
-    # hull of front-corner projections does NOT bound the projections of
-    # front voxels inside the block. Keep such blocks visible
-    # unconditionally; the per-voxel ok test inside the kernel stays exact
-    # either way (this flag only gates work-skipping), and any voxel whose
-    # pixel then falls outside the rect is counted in `misses`.
+    # visibility classes:
+    # * vis (pass A): all corners in front, projected bbox overlaps the
+    #   image, and the bbox FITS the rect window after alignment clamping.
+    # * flagged (pass B, full-image rect): blocks straddling the camera
+    #   plane (their projected bbox is unreliable — the hull of the front
+    #   corners does not bound interior voxel projections) and near-camera
+    #   blocks whose footprint exceeds the rect. Pass B's rect is the whole
+    #   image, so in-image voxels of flagged blocks always fuse exactly.
     partial_behind = any_front & ~all_front
-    vis = (any_front
-           & (partial_behind
-              | ((umax >= 0) & (umin <= W - 1)
-                 & (vmax >= 0) & (vmin <= H - 1))))
+    overlap = ((umax >= 0) & (umin <= W - 1)
+               & (vmax >= 0) & (vmin <= H - 1))
+    too_big = ((umax > (u0 + rect_w - 1).astype(jnp.float32))
+               | (vmax > (v0 + rect_h - 1).astype(jnp.float32)))
+    vis = all_front & overlap & ~too_big
+    flagged = any_front & (partial_behind | (overlap & too_big))
     # flat [NB*3] (v0, u0, vis): a 2D SMEM operand would be lane-padded to
     # 128 wide and blow the 1MB SMEM budget
-    return jnp.stack([v0.reshape(-1), u0.reshape(-1),
-                      vis.reshape(-1).astype(jnp.int32)], axis=-1).reshape(-1)
+    origins = jnp.stack([v0.reshape(-1), u0.reshape(-1),
+                         vis.reshape(-1).astype(jnp.int32)],
+                        axis=-1).reshape(-1)
+    return origins, flagged.reshape(-1)
 
 
-def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*3] i32 (v0,u0,vis)
+def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  params_ref,   # SMEM [32] f32 packed scalars
                  pk1_hbm, pk2_hbm,  # HBM [Hp, Wp] f32
                  diff_ref, colorpk_ref, wt_ref, hist_ref,   # VMEM in
@@ -251,7 +254,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*3] i32 (v0,u0,vis)
                  rect1, rect2, sems,  # scratch
                  *, K: int, H: int, W: int, nby: int, nbz: int,
                  rect_h: int, rect_w: int,
-                 color_diff_gate: float, depth_scale: float):
+                 color_diff_gate: float, depth_scale: float,
+                 group: int = GROUP, coords: str = "arith"):
+    # origins stride: pass A packs (v0, u0, vis) and derives the block's
+    # (bx, by, bz) arithmetically from its position; pass B (full-image
+    # rect over a COMPACTED near-block subset) packs (v0, u0, vis, bx, by,
+    # bz) because a compacted index says nothing about the coordinates
+    ostride = 3 if coords == "arith" else 6
     """See module docstring. Mosaic layout rules shape this code: lane
     dimensions must be multiples of 128, and (16,128)->(2048,1) casts are
     unsupported — so all per-voxel scalars are computed in a (2048, 1)
@@ -272,13 +281,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*3] i32 (v0,u0,vis)
                       params_ref[15])
     mu = params_ref[16]
 
-    for g in range(GROUP):
-        blk = step * GROUP + g
+    for g in range(group):
+        blk = step * group + g
 
-        @pl.when(origins_ref[blk * 3 + 2] == 1)
-        def _():
-            v0 = pl.multiple_of(origins_ref[blk * 3], 8)
-            u0 = pl.multiple_of(origins_ref[blk * 3 + 1], 128)
+        @pl.when(origins_ref[blk * ostride + 2] == 1)
+        def _(blk=blk, g=g):
+            v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
+            u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
             pltpu.make_async_copy(
                 pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
                 rect1.at[g], sems.at[0, g]).start()
@@ -317,10 +326,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*3] i32 (v0,u0,vis)
     lane_src = (rj % rows_per_s) * VPK + jj // K   # l of voxel at (r, j)
     k_lane = (jj % K).astype(jnp.float32)
 
-    for g in range(GROUP):
-        blk = step * GROUP + g
+    for g in range(group):
+        blk = step * group + g
 
-        @pl.when(origins_ref[blk * 3 + 2] == 0)
+        @pl.when(origins_ref[blk * ostride + 2] == 0)
         def _(g=g, blk=blk):
             # block invisible this frame: every voxel is invalid,
             # the update is the identity — skip DMA/MXU entirely
@@ -329,11 +338,16 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*3] i32 (v0,u0,vis)
             wt_out[g] = wt_ref[g]
             hist_out[g] = hist_ref[g]
 
-        @pl.when(origins_ref[blk * 3 + 2] == 1)
+        @pl.when(origins_ref[blk * ostride + 2] == 1)
         def _(g=g, blk=blk):
-            bz = jax.lax.rem(blk, nbz)
-            by = jax.lax.rem(blk // nbz, nby)
-            bx = blk // (nbz * nby)
+            if coords == "arith":
+                bz = jax.lax.rem(blk, nbz)
+                by = jax.lax.rem(blk // nbz, nby)
+                bx = blk // (nbz * nby)
+            else:
+                bx = origins_ref[blk * ostride + 3]
+                by = origins_ref[blk * ostride + 4]
+                bz = origins_ref[blk * ostride + 5]
 
             gx = (bx * BX).astype(jnp.float32) + dxc
             gy = (by * BY).astype(jnp.float32) + dyc
@@ -347,8 +361,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [NB*3] i32 (v0,u0,vis)
             v = jnp.floor((fy * py + cy * pz) / safe_z).astype(jnp.int32)
             in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (pz > 0)
 
-            v0 = origins_ref[blk * 3]
-            u0 = origins_ref[blk * 3 + 1]
+            v0 = origins_ref[blk * ostride]
+            u0 = origins_ref[blk * ostride + 1]
             ul = u - u0
             vl = v - v0
             in_rect = (ul >= 0) & (ul < rect_w) & (vl >= 0) & (vl < rect_h)
@@ -493,8 +507,8 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     if (Hp, Wp) != (H, W):
         pk1 = jnp.pad(pk1, ((0, Hp - H), (0, Wp - W)))
         pk2 = jnp.pad(pk2, ((0, Hp - H), (0, Wp - W)))
-    origins = _block_origins(b, extrinsic2init, intrinsic, Hp, Wp,
-                             rect_h, rect_w)
+    origins, flagged = _block_origins(b, extrinsic2init, intrinsic, Hp, Wp,
+                                      rect_h, rect_w)
 
     E = extrinsic2init.astype(jnp.float32)
     Km = intrinsic.astype(jnp.float32)
@@ -565,6 +579,91 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         interpret=interpret,
     )(origins, params, pk1, pk2, b.diff, b.colorpk, b.weight, b.hist)
 
+    # ---- pass B: flagged near/straddling blocks, full-image rect ----
+    # (see _block_origins) — a small compacted subset, so the per-block
+    # cost of DMAing the whole image is paid ~tens of times per frame
+    B2 = getattr(cfg, "near_block_budget", 128)
+    n_flagged = flagged.sum()
+    (ids,) = jnp.nonzero(flagged, size=B2, fill_value=NB)
+    valid = (ids < NB).astype(jnp.int32)
+    idc = jnp.minimum(ids, NB - 1)
+    bx = (idc // (b.nbz * b.nby)).astype(jnp.int32)
+    by = ((idc // b.nbz) % b.nby).astype(jnp.int32)
+    bz = (idc % b.nbz).astype(jnp.int32)
+    zeros = jnp.zeros_like(ids)
+    origins_b = jnp.stack([zeros, zeros, valid, bx, by, bz],
+                          axis=-1).reshape(-1)
+
+    G2 = 2
+    # full-image rect, padded to DMA-tileable dims
+    fr_h = (Hp + 7) // 8 * 8
+    fr_w = (Wp + 127) // 128 * 128
+    if (fr_h, fr_w) != (Hp, Wp):
+        pk1 = jnp.pad(pk1, ((0, fr_h - Hp), (0, fr_w - Wp)))
+        pk2 = jnp.pad(pk2, ((0, fr_h - Hp), (0, fr_w - Wp)))
+    kern_b = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
+                     rect_h=fr_h, rect_w=fr_w,
+                     color_diff_gate=cfg.color_diff_gate,
+                     depth_scale=cfg.depth_scale, group=G2, coords="smem")
+    HRK = BLOCK_VOX * K // TILE_L
+    grid_b = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B2 // G2,),
+        in_specs=[
+            pl.BlockSpec((32,), lambda i, o: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G2, HRK, TILE_L), lambda i, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G2, HRK, TILE_L), lambda i, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G2, fr_h, fr_w), jnp.float32),
+            pltpu.VMEM((G2, fr_h, fr_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, G2)),
+        ],
+    )
+    db, cb, wb, hb = (new_diff[idc], new_cpk[idc], new_wt[idc],
+                      new_hist[idc])
+    db2, cb2, wb2, hb2, miss_b = pl.pallas_call(
+        kern_b,
+        grid_spec=grid_b,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_shape=[
+            jax.ShapeDtypeStruct(db.shape, jnp.float32),
+            jax.ShapeDtypeStruct(cb.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wb.shape, jnp.int32),
+            jax.ShapeDtypeStruct(hb.shape, jnp.uint16),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        interpret=interpret,
+    )(origins_b, params, pk1, pk2, db, cb, wb, hb)
+    # out-of-bounds indices (padded slots carry ids == NB) are dropped
+    new_diff = new_diff.at[ids].set(db2)
+    new_cpk = new_cpk.at[ids].set(cb2)
+    new_wt = new_wt.at[ids].set(wb2)
+    new_hist = new_hist.at[ids].set(hb2)
+    # budget overflow: count the whole blocks we could not fuse
+    overflow = jnp.maximum(n_flagged - B2, 0) * BLOCK_VOX
+
     new_state = b.replace(diff=new_diff, colorpk=new_cpk, weight=new_wt,
                           hist=new_hist, n_obs=b.n_obs + 1)
-    return new_state, miss[0, 0]
+    return new_state, miss[0, 0] + miss_b[0, 0] + overflow

@@ -90,10 +90,9 @@ def test_init_blocked_matches_conversion():
 
 def test_camera_inside_volume_parity():
     """Camera at the volume center (blocks straddle the camera plane).
-    Regression test for the dead `behind_any` visibility term: partially-
-    behind blocks must stay visible, and every in-image voxel the kernel
-    cannot serve from its rect must be counted in `misses` so the fallback
-    contract holds. Both paths apply the pz > 0 guard (see fuse.py)."""
+    Straddling/near blocks route to the full-image-rect pass B, so the
+    result must now FULLY match the exact XLA path with zero misses (both
+    paths apply the pz > 0 guard, see fuse.py)."""
     frames = _frames(1)
     depth0 = frames[0][0]
     md = float((depth0[depth0 > 0] / 5000.0).mean())
@@ -112,15 +111,15 @@ def test_camera_inside_volume_parity():
                                    jnp.asarray(E), jnp.asarray(K4), CFG)
     dense = to_dense(pal, CFG)
 
+    assert int(miss) == 0, f"pass B should leave no misses, got {int(miss)}"
     w0 = np.asarray(state.weight)
     dw_xla = np.asarray(xla.weight) - w0
     dw_pal = np.asarray(dense.weight) - w0
     assert dw_xla.sum() > 0, "fixture must actually fuse something"
-    # pallas updates are a subset of the exact path's updates…
-    assert np.all(dw_pal <= dw_xla)
-    # …and wherever pallas did update, it agrees (a handful of voxels sit
-    # exactly on the color-gate/cull thresholds where the two paths' float
-    # summation orders differ — same tolerance class as the main parity test)
+    np.testing.assert_array_equal(dw_pal, dw_xla)
+    # wherever updated, the paths agree (a handful of voxels sit exactly
+    # on the color-gate/cull thresholds where the two paths' float
+    # summation orders differ — same tolerance class as the main test)
     upd = dw_pal > 0
     hist_bad = (np.asarray(dense.hist)[upd]
                 != np.asarray(xla.hist)[upd]).any(-1)
@@ -128,10 +127,6 @@ def test_camera_inside_volume_parity():
     diff_bad = ~np.isclose(np.asarray(dense.diff)[upd],
                            np.asarray(xla.diff)[upd], atol=1e-5)
     assert diff_bad.mean() < 1e-2, f"{diff_bad.sum()} diff mismatches"
-    # every voxel the exact path fused but pallas skipped is accounted for
-    missed_voxels = int((dw_xla - dw_pal).sum())
-    assert int(miss) >= missed_voxels, (
-        f"misses={int(miss)} under-reports {missed_voxels} dropped voxels")
 
 
 def test_invisible_blocks_are_skipped_correctly():
