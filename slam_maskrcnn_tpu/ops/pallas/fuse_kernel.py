@@ -233,8 +233,12 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     partial_behind = any_front & ~all_front
     overlap = ((umax >= 0) & (umin <= W - 1)
                & (vmax >= 0) & (vmin <= H - 1))
-    too_big = ((umax > (u0 + rect_w - 1).astype(jnp.float32))
-               | (vmax > (v0 + rect_h - 1).astype(jnp.float32)))
+    # only the IN-IMAGE part of the footprint must fit (off-image voxels
+    # never fuse): clamp the bbox to the image before the coverage test
+    too_big = ((jnp.minimum(umax, W - 1.0)
+                > (u0 + rect_w - 1).astype(jnp.float32))
+               | (jnp.minimum(vmax, H - 1.0)
+                  > (v0 + rect_h - 1).astype(jnp.float32)))
     vis = all_front & overlap & ~too_big
     flagged = any_front & (partial_behind | (overlap & too_big))
     # flat [NB*3] (v0, u0, vis): a 2D SMEM operand would be lane-padded to

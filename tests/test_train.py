@@ -88,7 +88,10 @@ def test_train_step_reduces_loss():
                          steps_per_epoch=3, verbose=0, checkpoint=False)
     assert len(hist) == 2
     assert np.isfinite(hist).all()
-    assert hist[-1] < hist[0] * 1.5  # finite and not exploding
+    # genuine descent, not just "not exploding": the first epochs from
+    # random init drop steeply (TPU run: 28.8 -> 8.9 over 100-step epochs;
+    # 3-step epochs still fall clearly)
+    assert hist[-1] < hist[0] * 0.85, f"loss did not descend: {hist}"
 
 
 def test_train_step_data_parallel_mesh():
@@ -138,3 +141,42 @@ def test_epoch_resume_from_checkpoint(tmp_path):
     a = jax.tree.leaves(variables)[0]
     b = jax.tree.leaves(model2.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_shapes_map_gate_machinery():
+    """The train_shapes mAP@50 gate, validated deterministically: a model
+    that detects the ground truth scores ~1.0, a blind model scores 0.
+    (Actual trained convergence is gated on TPU: mAP@50 = 0.73 after 1400
+    steps from random init — PERFORMANCE.md.)"""
+    from slam_maskrcnn_tpu.data.dataset import load_image_gt
+    from slam_maskrcnn_tpu.samples.train_shapes import (
+        InferenceShapesConfig, evaluate_map)
+
+    cfg = InferenceShapesConfig()
+    ds = ShapesDataset()
+    ds.load_shapes(4, cfg.IMAGE_SHAPE[0], cfg.IMAGE_SHAPE[1], seed=7)
+    ds.prepare()
+
+    class Oracle:
+        def detect(self, images):
+            _, cid, bbox, mask, _, _ = load_image_gt(
+                ds, cfg, self._id, use_mini_mask=False)
+            return [dict(rois=bbox.astype(np.float32), class_ids=cid,
+                         scores=np.full(len(cid), 0.99, np.float32),
+                         masks=mask)]
+
+    class Blind:
+        def detect(self, images):
+            return [dict(rois=np.zeros((0, 4), np.float32),
+                         class_ids=np.zeros((0,), np.int32),
+                         scores=np.zeros((0,), np.float32),
+                         masks=np.zeros(tuple(cfg.IMAGE_SHAPE[:2]) + (0,),
+                                        bool))]
+
+    oracle = Oracle()
+    aps = []
+    for i in ds.image_ids:
+        oracle._id = i
+        aps.append(evaluate_map(oracle, ds, cfg, [i]))
+    assert np.mean(aps) > 0.99
+    assert evaluate_map(Blind(), ds, cfg, ds.image_ids) == 0.0
