@@ -79,21 +79,26 @@ def fusion_step_blocked(state, depth: jax.Array, color: jax.Array,
 
     def with_assoc(operand):
         st, msk = operand
-        probs, bm = splat_probe(st, extrinsic2init, intrinsic, H, W, cfg)
-        return associate_instances(probs, bm, msk, st.n_obs, st.num_objs, cfg)
+        probs, bm, ovf = splat_probe(st, extrinsic2init, intrinsic, H, W,
+                                     cfg)
+        rl, no = associate_instances(probs, bm, msk, st.n_obs, st.num_objs,
+                                     cfg)
+        return rl, no, ovf
 
     def first_fuse(operand):
         st, msk = operand
         identity = jnp.arange(cfg.max_objects, dtype=jnp.int32)
-        return identity, jnp.max(msk).astype(jnp.int32) + 1
+        return (identity, jnp.max(msk).astype(jnp.int32) + 1,
+                jnp.zeros((), jnp.int32))
 
-    relabel, num_objs = jax.lax.cond(state.n_obs > 0, with_assoc, first_fuse,
-                                     (state, mask))
+    relabel, num_objs, overflow = jax.lax.cond(state.n_obs > 0, with_assoc,
+                                               first_fuse, (state, mask))
     mask_g = apply_relabel(mask, relabel)
     state = state.replace(num_objs=num_objs)
     state, misses = fuse_frame_blocked(state, depth, color, mask_g,
                                        extrinsic2init, intrinsic, cfg)
-    return state, mask_g, misses
+    # probe budget overflow rides the same safety channel as rect misses
+    return state, mask_g, misses + overflow
 
 
 class SemanticFusion:

@@ -91,8 +91,12 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
                           nby: int, nbz: int, max_blocks: int = 4096,
                           max_surface: int = 512 * 1024):
     """Core splat: returns (zbuf [H*W] f32, winner voxel id [H*W] i32 with
-    -1 for empty, n_active_blocks). Voxel id = blk * 2048 + s * 128 + l,
-    indexing the flat voxel-major views of the blocked arrays.
+    -1 for empty, overflow). Voxel id = blk * 2048 + s * 128 + l, indexing
+    the flat voxel-major views of the blocked arrays. `overflow` counts
+    active blocks beyond max_blocks plus visible surface voxels beyond
+    max_surface — nonzero means the z-buffer silently dropped surface and
+    the caller should raise the budgets (it feeds the fusion-step miss
+    channel).
 
     Takes explicit arrays (not the state pytree) so jitted callers have no
     unused pytree leaves — a jax-0.9 fastpath bug miscounts donated/pruned
@@ -149,6 +153,10 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     pix_s = jnp.where(sel_ok, pix.reshape(-1)[sel_c], H * W)
     code_s = code.reshape(-1)[sel_c]
 
+    n_vis = vis.sum()
+    overflow = (jnp.maximum(n_act - max_blocks, 0) * (S * L)
+                + jnp.maximum(n_vis - max_surface, 0))
+
     zbuf = jnp.full((H * W + 1,), BIG, jnp.float32)
     zbuf = zbuf.at[pix_s].min(z_s)
 
@@ -158,7 +166,7 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     vbuf = jnp.full((H * W + 1,), jnp.int32(2 ** 31 - 1), jnp.int32)
     vbuf = vbuf.at[pix_s].min(jnp.where(win, code_s, 2 ** 31 - 1))
     vid = jnp.where(zbuf[:-1] < BIG, vbuf[:-1], -1)
-    return zbuf[:-1], vid, n_act
+    return zbuf[:-1], vid, overflow
 
 
 def _gather_hist_rows(hist, vox_ids, K):
@@ -249,8 +257,9 @@ def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
     box_mask [H, W, K] bool) — nearest-voxel counts instead of trilinear
     interpolation (fast mode)."""
     M, m4 = pinhole_of_extrinsic(extrinsic2init, intrinsic)
-    zbuf, vid, _ = splat_zbuffer(b, M, m4, H, W, cfg.splat_max_blocks,
-                                 cfg.splat_max_surface)
+    zbuf, vid, overflow = splat_zbuffer(b, M, m4, H, W,
+                                        cfg.splat_max_blocks,
+                                        cfg.splat_max_surface)
     zb2, vd2 = _fill_holes(zbuf.reshape(H, W), vid.reshape(H, W))
     have = vd2 >= 0
     vsafe = jnp.maximum(vd2, 0)
@@ -258,7 +267,7 @@ def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
     rows = _gather_hist_rows(b.hist, vsafe, K).astype(jnp.float32)
     probs = jnp.where(have[..., None], rows, 0.0)
     box_mask = probs > cfg.box_mask_thresh
-    return probs, box_mask
+    return probs, box_mask, overflow
 
 
 def splat_render(b, M, m4, H, W, cfg, mode="instance", max_blocks=4096,

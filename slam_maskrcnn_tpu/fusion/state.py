@@ -71,10 +71,12 @@ class FusionConfig:
     # lane-alignment slack and must be a multiple of 128.
     pallas_rect: tuple = (128, 384)
     # splat probe/renderer compaction budgets: blocks holding surface, and
-    # visible surface voxels kept for the z-buffer scatters (scatter cost
-    # scales with these static sizes; PERFORMANCE.md)
-    splat_max_blocks: int = 4096
-    splat_max_surface: int = 512 * 1024
+    # visible surface voxels kept for the z-buffer scatters. Scatter cost
+    # scales with these STATIC sizes (measured 256^3 step: 326 ms at
+    # (4096, 512k) vs 170 ms at these defaults); exceeding them is counted
+    # into the step's miss/overflow channel, so raise them when that fires
+    splat_max_blocks: int = 2048
+    splat_max_surface: int = 256 * 1024
     # fuse pass B budget: blocks whose projected footprint exceeds the
     # rect (very-near-camera or camera-plane-straddling blocks) are fused
     # in a second full-image-rect pass over a compacted subset of at most

@@ -142,7 +142,7 @@ def make_sharded_fusion_step(cfg, mesh: Mesh, axis: str = "data",
         def with_assoc(operand):
             stl, msk = operand
             M, m4 = pinhole_of_extrinsic(e2i, intrinsic)
-            zbuf, vid, _ = _splat_zbuffer_arrays(
+            zbuf, vid, ovf = _splat_zbuffer_arrays(
                 stl.diff, stl.vol_start, stl.voxel, M, m4, H, W,
                 stl.nby, stl.nbz, max_blocks)
             Kb = stl.hist.shape[1] * 128 // 2048
@@ -159,22 +159,24 @@ def make_sharded_fusion_step(cfg, mesh: Mesh, axis: str = "data",
                                  axis)
             _, probs = _fill_holes_probs(gz, probs, BIG)
             bm = probs > cfg.box_mask_thresh
-            return associate_instances(probs, bm, msk, st.n_obs,
-                                       st.num_objs, cfg)
+            rl, no = associate_instances(probs, bm, msk, st.n_obs,
+                                         st.num_objs, cfg)
+            return rl, no, jax.lax.psum(ovf, axis)
 
         def first_fuse(operand):
             stl, msk = operand
             identity = jnp.arange(cfg.max_objects, dtype=jnp.int32)
-            return identity, jnp.max(msk).astype(jnp.int32) + 1
+            return (identity, jnp.max(msk).astype(jnp.int32) + 1,
+                    jnp.zeros((), jnp.int32))
 
-        relabel, new_num = jax.lax.cond(st.n_obs > 0, with_assoc,
-                                        first_fuse, (st, mask))
+        relabel, new_num, ovf = jax.lax.cond(st.n_obs > 0, with_assoc,
+                                             first_fuse, (st, mask))
         mask_g = apply_relabel(mask, relabel)
         st = st.replace(num_objs=new_num)
         new, miss = fuse_frame_blocked_impl(st, depth, color, mask_g, e2i,
                                             intrinsic, cfg)
         return (new.diff, new.colorpk, new.weight, new.hist, new.n_obs,
-                new.num_objs, mask_g, jax.lax.psum(miss, axis))
+                new.num_objs, mask_g, jax.lax.psum(miss, axis) + ovf)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3),
              static_argnames=("nbx", "nby", "nbz"))

@@ -73,7 +73,8 @@ def test_splat_probe_matches_march_probe():
     probs_m, bm_m = back_project_probe(state, e2i,
                                        jnp.asarray(np.linalg.inv(K4)),
                                        H, W, CFG)
-    probs_s, bm_s = splat_probe(b, e2i, jnp.asarray(K4), H, W, CFG)
+    probs_s, bm_s, ovf = splat_probe(b, e2i, jnp.asarray(K4), H, W, CFG)
+    assert int(ovf) == 0
     pm = np.asarray(probs_m)
     ps = np.asarray(probs_s)
     # bin 1 dominates at sphere pixels in both
@@ -88,11 +89,11 @@ def test_splat_zbuffer_depth_plausible():
     state = _sphere_state(center=(0.0, 0.0, 1.0), radius=0.25)
     b = to_blocked(state, CFG)
     M, m4 = pinhole_of_extrinsic(jnp.eye(4), jnp.asarray(K4))
-    zbuf, vid, n_act = splat_zbuffer(b, M, m4, H, W)
+    zbuf, vid, overflow = splat_zbuffer(b, M, m4, H, W)
     z = np.asarray(zbuf).reshape(H, W)
     # raw zbuffer has holes (voxel spacing > pixel spacing); take the
     # neighborhood min around the center
     patch = z[H // 2 - 2:H // 2 + 3, W // 2 - 2:W // 2 + 3]
     center_z = patch.min()
     assert abs(center_z - 0.75) < 0.05  # sphere front at z = 1 - 0.25
-    assert int(n_act) > 0
+    assert int(overflow) == 0  # budgets not exceeded
