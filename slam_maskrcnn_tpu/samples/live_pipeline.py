@@ -63,12 +63,17 @@ class LivePipeline:
 
     def step(self, depth: np.ndarray, color_bgr: np.ndarray,
              extrinsic: np.ndarray, mean_depth: float | None = None):
-        from slam_maskrcnn_tpu.models.mask_ops import mask_detect
+        from slam_maskrcnn_tpu.models.mask_ops import (mask_detect,
+                                                       mask_detect_device)
 
         t0 = time.perf_counter()
         rgb = np.ascontiguousarray(color_bgr[:, :, ::-1])
-        mask = mask_detect(self.model, rgb,
-                           depth if self.use_depth_filter else None)
+        if self.use_depth_filter:
+            # depth filtering needs per-mask medians -> host dmask path
+            mask = mask_detect(self.model, rgb, depth)
+        else:
+            # device-side label encode: only [H, W] u8 crosses back
+            mask = mask_detect_device(self.model, rgb)
         self.timings["detect"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
