@@ -33,7 +33,7 @@ def _stage(name):
     print(f"[bench] {name}...", file=sys.stderr, flush=True)
 
 
-def bench_fusion(vol, n_frames, H=480, W=640):
+def bench_fusion(vol, n_frames, H=480, W=640, **cfg_kw):
     import jax
     import jax.numpy as jnp
 
@@ -45,7 +45,7 @@ def bench_fusion(vol, n_frames, H=480, W=640):
         init_blocked_from_first_frame)
 
     K4 = make_intrinsic(520.9, 521.0, 325.1, 249.7)  # kernel.cpp:39
-    cfg = FusionConfig(vol_dim=(vol,) * 3, hist_dtype=jnp.uint16)
+    cfg = FusionConfig(vol_dim=(vol,) * 3, hist_dtype=jnp.uint16, **cfg_kw)
     frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
     state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
                                           frames[0]["mean_depth"])
@@ -164,7 +164,10 @@ def main():
 
     _stage("fusion 512^3")
     try:
-        fps512, miss512, pack = bench_fusion(512, 4)
+        # surface area and near-block count scale ~4x from 256^3
+        fps512, miss512, pack = bench_fusion(
+            512, 4, splat_max_blocks=8192, splat_max_surface=1024 * 1024,
+            near_block_budget=512)
         extra["fused_fps_512"] = round(fps512, 3)
         extra["rect_misses_512"] = miss512
         del pack

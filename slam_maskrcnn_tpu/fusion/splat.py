@@ -213,13 +213,14 @@ def _fill_holes(zbuf2d, vid2d):
 
 
 @partial(jax.jit, static_argnames=("H", "W", "mode", "max_blocks",
-                                   "fill", "nby", "nbz"))
+                                   "max_surface", "fill", "nby", "nbz"))
 def _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
                       H: int, W: int, nby: int, nbz: int,
                       mode: str = "instance", max_blocks: int = 4096,
-                      fill: bool = True):
+                      max_surface: int = 512 * 1024, fill: bool = True):
     zbuf, vid, _ = _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4,
-                                         H, W, nby, nbz, max_blocks)
+                                         H, W, nby, nbz, max_blocks,
+                                         max_surface)
     zb2, vd2 = (zbuf.reshape(H, W), vid.reshape(H, W))
     if fill:
         zb2, vd2 = _fill_holes(zb2, vd2)
@@ -270,7 +271,7 @@ def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
     return probs, box_mask, overflow
 
 
-def splat_render(b, M, m4, H, W, cfg, mode="instance", max_blocks=4096,
+def splat_render(b, M, m4, H, W, cfg, mode="instance", max_blocks=None,
                  fill=True):
     """Render the blocked volume from a pinhole (M, m4). Returns uint8
     [H, W, 3] RGB (instance palette or volume color).
@@ -282,10 +283,11 @@ def splat_render(b, M, m4, H, W, cfg, mode="instance", max_blocks=4096,
     """
     return _splat_render_jit(b.diff, b.colorpk, b.hist, b.vol_start,
                              b.voxel, M, m4, H, W, b.nby, b.nbz, mode=mode,
-                             max_blocks=max_blocks, fill=fill)
+                             max_blocks=max_blocks or cfg.splat_max_blocks,
+                             max_surface=cfg.splat_max_surface, fill=fill)
 
 
-def splat_probe(b, extrinsic2init, intrinsic, H, W, cfg, max_blocks=4096):
+def splat_probe(b, extrinsic2init, intrinsic, H, W, cfg, max_blocks=None):
     """See _splat_probe_jit (same fastpath-bug wrapper as splat_render)."""
     return _splat_probe_jit(b, extrinsic2init, intrinsic, H, W, cfg,
                             max_blocks=max_blocks)

@@ -69,7 +69,10 @@ class FusionConfig:
     # a miss count when exceeded (fall back to the XLA path then).
     # h is DMA-sublane-aligned (multiple of 8); w needs footprint + 128
     # lane-alignment slack and must be a multiple of 128.
-    pallas_rect: tuple = (128, 384)
+    # (96, 256) + near_block_budget 256 measured fastest at 256^3 with
+    # zero misses (the rect scales the one-hot matmul + VPU recombine;
+    # oversized footprints route to the full-image pass B)
+    pallas_rect: tuple = (96, 256)
     # splat probe/renderer compaction budgets: blocks holding surface, and
     # visible surface voxels kept for the z-buffer scatters. Scatter cost
     # scales with these STATIC sizes (measured 256^3 step: 326 ms at
@@ -81,7 +84,7 @@ class FusionConfig:
     # rect (very-near-camera or camera-plane-straddling blocks) are fused
     # in a second full-image-rect pass over a compacted subset of at most
     # this many blocks; overflow is counted into `misses`
-    near_block_budget: int = 128
+    near_block_budget: int = 256
     # "majority-vote" single-id mode of the TSDF_Python prototype
     # (src/TSDF_Python/tsdf.cu:48-57): Boyer-Moore count instead of the full
     # histogram — 1/max_objects the memory. Optional compatibility mode.

@@ -411,6 +411,9 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                       - 128.0).astype(jnp.int8)
             ti = jnp.dot(row_oh.astype(jnp.int8), planes,
                          preferred_element_type=jnp.int32)
+            # recombine planes wide, then column-select per table (tried
+            # the narrower select-per-plane ordering — 18 small selects —
+            # and it measured ~35% SLOWER than these wide fused VPU ops)
             ok_i = ok_c.astype(jnp.int32) * 128
             t = (ti + ok_i).astype(jnp.float32)
             w2 = 2 * rect_w
