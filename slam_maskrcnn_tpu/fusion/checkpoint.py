@@ -56,6 +56,11 @@ def load_volume(path: str, cfg, blocked: bool = False):
         raise ValueError(
             f"snapshot arrays are {z['diff'].shape} but cfg.vol_dim is "
             f"{tuple(cfg.vol_dim)}")
+    if (not cfg.majority_vote and z["hist"].ndim == 4
+            and z["hist"].shape[-1] != cfg.max_objects):
+        raise ValueError(
+            f"snapshot histogram has {z['hist'].shape[-1]} bins but "
+            f"cfg.max_objects is {cfg.max_objects}")
     base = init_state(cfg, z["vol_start"], z["vol_end"],
                       num_objs=int(z["num_objs"]))
     state = base.replace(

@@ -327,14 +327,22 @@ class MaskRCNN:
         return variables
 
     def load_weights(self, filepath: str, by_name: bool = True,
-                     exclude: list[str] | None = None):
-        """Load weights: .h5 (Keras, via the importer) or orbax/msgpack."""
+                     exclude: list[str] | None = None,
+                     strict: bool | None = None):
+        """Load weights: .h5 (Keras, via the importer) or orbax/msgpack.
+
+        strict: default True for full-model loads (no exclude) — every
+        model parameter must be written and every file layer consumed, so
+        a real checkpoint (mask_rcnn_coco.h5) can never half-load
+        silently. Excluded/partial loads default to non-strict."""
         if filepath.endswith(".h5"):
             from slam_maskrcnn_tpu.models.import_h5 import load_h5_weights
             if self.params is None:
                 self.init_params()
+            if strict is None:
+                strict = not exclude
             self.params = load_h5_weights(filepath, self.params,
-                                          exclude=exclude)
+                                          exclude=exclude, strict=strict)
         else:
             from slam_maskrcnn_tpu.train.checkpoint import restore_params
             self.params = restore_params(filepath)
