@@ -12,6 +12,10 @@ extra keys:
   raycast_fps      orbit splat render of the fused 256^3 volume, 480x640
   fused_fps_512    the fusion step at the 512^3 north-star volume
   e2e_fps          LivePipeline: detect -> dmask -> fuse(256^3) -> render
+                   (live host loop; relay-transfer dominated here)
+  e2e_device_fps   detect -> device label-encode -> fuse(256^3), frames
+                   pre-staged on device, one readback (the locally-attached
+                   chip rate)
   rect_misses      fuse-kernel dropped-voxel count on the last 256^3 frame
 
 Baseline: the reference publishes no numbers (BASELINE.md); the driver-set
@@ -71,18 +75,16 @@ def bench_fusion(vol, n_frames, H=480, W=640, **cfg_kw):
 
 
 def bench_raycast(state, Kj, cfg, H=480, W=640, n=20):
-    import jax.numpy as jnp
+    import numpy as np
 
-    from slam_maskrcnn_tpu.fusion.splat import pinhole_of_orbit, splat_render
+    from slam_maskrcnn_tpu.fusion.splat import splat_render_orbit
 
     dist = 1.5
-    M, m4 = pinhole_of_orbit(0.01, dist, Kj)
-    img = splat_render(state, M, m4, H, W, cfg)
+    img = splat_render_orbit(state, 0.01, dist, Kj, H, W, cfg)
     _ = int(np.asarray(img)[0, 0, 0])
     t0 = time.time()
     for k in range(n):
-        M, m4 = pinhole_of_orbit(0.01 * (k + 2), dist, Kj)
-        img = splat_render(state, M, m4, H, W, cfg)
+        img = splat_render_orbit(state, 0.01 * (k + 2), dist, Kj, H, W, cfg)
     _ = int(np.asarray(img)[0, 0, 0])
     return n / (time.time() - t0)
 
@@ -148,6 +150,72 @@ def bench_e2e(model_pack, n_frames=6, H=480, W=640):
     return n_frames / (time.time() - t0)
 
 
+def bench_e2e_device(model_pack, n_frames=12, H=480, W=640):
+    """Device-rate end-to-end: detect -> device label-encode -> fuse, with
+    frames pre-staged on device and ONE readback at the end. This is the
+    rate a locally-attached chip would sustain (the live e2e_fps number is
+    dominated by this environment's ~3MB/140ms relay transfers per frame,
+    PERFORMANCE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
+    from slam_maskrcnn_tpu.fusion import FusionConfig
+    from slam_maskrcnn_tpu.fusion.pipeline import fusion_step_blocked
+    from slam_maskrcnn_tpu.fusion.state import make_intrinsic
+    from slam_maskrcnn_tpu.models.anchors import get_anchors
+    from slam_maskrcnn_tpu.models.mask_ops import label_masks_device
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+        init_blocked_from_first_frame)
+
+    model, variables = model_pack
+    model.params = variables
+    K4 = make_intrinsic(520.9, 521.0, 325.1, 249.7)
+    cfg = FusionConfig(vol_dim=(256,) * 3, hist_dtype=jnp.uint16)
+    frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
+    state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
+                                          frames[0]["mean_depth"])
+    E0i = np.linalg.inv(frames[0]["extrinsic"]).astype(np.float32)
+    Kj = jnp.asarray(K4)
+
+    # pre-stage: molded images + fusion inputs on device
+    staged = []
+    for fr in frames[1:]:
+        rgb = np.ascontiguousarray(fr["color"][:, :, ::-1])
+        molded, windows = model.mold_inputs([rgb])
+        mh, mw = molded.shape[1:3]
+        scale = np.array([mh - 1, mw - 1, mh - 1, mw - 1], np.float32)
+        shift = np.array([0, 0, 1, 1], np.float32)
+        nwin = (windows.astype(np.float32) - shift) / scale
+        e2i = (fr["extrinsic"] @ E0i).astype(np.float32)
+        staged.append((jnp.asarray(molded), jnp.asarray(nwin),
+                       jnp.asarray(fr["depth"]), jnp.asarray(fr["color"]),
+                       jnp.asarray(e2i)))
+    anchors = jnp.asarray(get_anchors(model.config, staged[0][0].shape[1:]))
+
+    @jax.jit
+    def detect_label(params, images, anchors, win):
+        out = model.module.apply(params, images, anchors, win)
+        return label_masks_device(out["detections"][0], out["masks"][0],
+                                  win[0], (H, W), min_area=2000)
+
+    def one(state, s):
+        molded, nwin, depth, color, e2i = s
+        mask = detect_label(variables, molded, anchors, nwin)
+        state, mask_g, miss = fusion_step_blocked(state, depth, color,
+                                                  mask, e2i, Kj, cfg)
+        return state
+
+    for i in range(3):  # compile both branches
+        state = one(state, staged[i % 3])
+    _ = float(jnp.sum(state.weight))
+    t0 = time.time()
+    for i in range(n_frames):
+        state = one(state, staged[i % 3])
+    _ = float(jnp.sum(state.weight))
+    return n_frames / (time.time() - t0)
+
+
 def main():
     extra = {}
 
@@ -167,7 +235,7 @@ def main():
         # surface area and near-block count scale ~4x from 256^3
         fps512, miss512, pack = bench_fusion(
             512, 4, splat_max_blocks=8192, splat_max_surface=1024 * 1024,
-            near_block_budget=512)
+            splat_max_rows=49152, near_block_budget=512)
         extra["fused_fps_512"] = round(fps512, 3)
         extra["rect_misses_512"] = miss512
         del pack
@@ -186,6 +254,13 @@ def main():
     try:
         if model_pack is not None:
             extra["e2e_fps"] = round(bench_e2e(model_pack), 3)
+    except Exception:
+        traceback.print_exc()
+
+    _stage("end-to-end device rate")
+    try:
+        if model_pack is not None:
+            extra["e2e_device_fps"] = round(bench_e2e_device(model_pack), 3)
     except Exception:
         traceback.print_exc()
 

@@ -6,8 +6,10 @@ pathological on TPU (measured 18.5 s/frame via the vectorized while_loop at
 256^3, PERFORMANCE.md). This module renders the *same surface* by dense
 forward projection instead:
 
-1. surface shell = voxels with normalized SDF in (-1, 0) — the first
-   negative band the marcher's zero-crossing sits on;
+1. surface shell = voxels with normalized SDF in (-shell_band, 0) — the
+   first negative band the marcher's zero-crossing sits on (0.999 default;
+   thinner bands punch holes at grazing surfaces because the projective
+   TSDF is not 1-Lipschitz along the image plane);
 2. active blocks only (the blocked state from ops/pallas/fuse_kernel is
    the input) — one row-gather compacts them;
 3. z-buffer via scatter-min, winner resolution via a second scatter;
@@ -80,16 +82,18 @@ def pinhole_of_orbit(angle, dist, intrinsic):
 
 
 def splat_zbuffer(b, M, m4, H, W, max_blocks: int = 4096,
-                  max_surface: int = 512 * 1024):
+                  max_surface: int = 512 * 1024, max_rows: int = 8192,
+                  shell_band: float = 0.999):
     """Core splat (see _splat_zbuffer_arrays). Convenience pytree entry."""
     return _splat_zbuffer_arrays(b.diff, b.vol_start, b.voxel, M, m4,
                                  H, W, b.nby, b.nbz, max_blocks,
-                                 max_surface)
+                                 max_surface, max_rows, shell_band)
 
 
 def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
                           nby: int, nbz: int, max_blocks: int = 4096,
-                          max_surface: int = 512 * 1024):
+                          max_surface: int = 512 * 1024,
+                          max_rows: int = 8192, shell_band: float = 0.999):
     """Core splat: returns (zbuf [H*W] f32, winner voxel id [H*W] i32 with
     -1 for empty, overflow). Voxel id = blk * 2048 + s * 128 + l, indexing
     the flat voxel-major views of the blocked arrays. `overflow` counts
@@ -103,7 +107,15 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     buffers on repeat calls otherwise.
     """
     NB, S, L = diff.shape
-    shell = (diff < 0.0) & (diff > -0.999)
+    # shell band: (-0.999, 0) — the full first-negative band. A thinner
+    # band was tried (the metric SDF is 1-Lipschitz, so 0.5 would be
+    # hole-free) but this is a PROJECTIVE TSDF (camera-z difference,
+    # tsdf.cu:49): its gradient along grazing surfaces exceeds 1/voxel and
+    # a thin band punches probe holes that break association id-stability
+    # (caught by test_pipeline_pallas). Row occupancy is also insensitive
+    # to band thickness (a 128-lane row spans 32 z-voxels), so the win
+    # would have been small anyway.
+    shell = (diff < 0.0) & (diff > -shell_band)
     act = shell.any(axis=(1, 2))
     n_act = act.sum()
     (ids,) = jnp.nonzero(act, size=max_blocks, fill_value=NB)
@@ -111,7 +123,8 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     ids_c = jnp.minimum(ids, NB - 1)
 
     diff_a = diff[ids_c]                        # [MB, S, L] one row-gather
-    shell_a = (diff_a < 0.0) & (diff_a > -0.999) & id_ok[:, None, None]
+    shell_a = ((diff_a < 0.0) & (diff_a > -shell_band)
+               & id_ok[:, None, None])
 
     # voxel world positions from block ids + intra-block iota
     bx = (ids_c // (nbz * nby)).astype(jnp.float32)
@@ -141,20 +154,36 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     z = jnp.where(vis, sz, BIG)
     code = (ids_c[:, None, None] * (S * L) + vlin[None]).astype(jnp.int32)
 
-    # compact visible surface voxels before the scatters: gather/scatter
-    # costs ~12 ns/index (PERFORMANCE.md), so shrinking the index set from
-    # max_blocks*2048 to ~max_surface dominates the splat cost
+    # compact visible surface voxels before the scatters, in TWO levels:
+    # jnp.nonzero(size=k) is cumsum(bincount(cumsum(mask))) whose bincount
+    # is a scatter-add over the full INPUT (~12-18 ns/index, PERFORMANCE.md)
+    # — a flat nonzero over max_blocks*2048 = 4.2M lanes costs ~50 ms.
+    # Level 1 compacts at 128-lane-row granularity (nonzero input 32k +
+    # fast 0.1 us row gathers); level 2's voxel nonzero then runs over only
+    # max_rows*128 lanes. Measured: 48 ms -> ~13 ms at the 256^3 defaults.
     max_surface = min(max_blocks * 2048 // 8, max_surface)
-    (sel,) = jnp.nonzero(vis.reshape(-1), size=max_surface,
-                         fill_value=vis.size)
-    sel_ok = sel < vis.size
-    sel_c = jnp.minimum(sel, vis.size - 1)
-    z_s = jnp.where(sel_ok, z.reshape(-1)[sel_c], BIG)
-    pix_s = jnp.where(sel_ok, pix.reshape(-1)[sel_c], H * W)
-    code_s = code.reshape(-1)[sel_c]
+    rows_vis = vis.reshape(-1, L)                       # [MB*S, 128]
+    row_any = rows_vis.any(axis=1)
+    (rids,) = jnp.nonzero(row_any, size=max_rows, fill_value=row_any.size)
+    rid_ok = rids < row_any.size
+    rids_c = jnp.minimum(rids, row_any.size - 1)
+    vis_r = rows_vis[rids_c] & rid_ok[:, None]          # row gathers
+    z_r = z.reshape(-1, L)[rids_c]
+    pix_r = pix.reshape(-1, L)[rids_c]
+    code_r = code.reshape(-1, L)[rids_c]
+
+    (sel,) = jnp.nonzero(vis_r.reshape(-1), size=max_surface,
+                         fill_value=vis_r.size)
+    sel_ok = sel < vis_r.size
+    sel_c = jnp.minimum(sel, vis_r.size - 1)
+    z_s = jnp.where(sel_ok, z_r.reshape(-1)[sel_c], BIG)
+    pix_s = jnp.where(sel_ok, pix_r.reshape(-1)[sel_c], H * W)
+    code_s = code_r.reshape(-1)[sel_c]
 
     n_vis = vis.sum()
+    n_rows = row_any.sum()
     overflow = (jnp.maximum(n_act - max_blocks, 0) * (S * L)
+                + jnp.maximum(n_rows - max_rows, 0) * L
                 + jnp.maximum(n_vis - max_surface, 0))
 
     zbuf = jnp.full((H * W + 1,), BIG, jnp.float32)
@@ -213,14 +242,16 @@ def _fill_holes(zbuf2d, vid2d):
 
 
 @partial(jax.jit, static_argnames=("H", "W", "mode", "max_blocks",
-                                   "max_surface", "fill", "nby", "nbz"))
+                                   "max_surface", "max_rows", "shell_band",
+                                   "fill", "nby", "nbz"))
 def _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
                       H: int, W: int, nby: int, nbz: int,
                       mode: str = "instance", max_blocks: int = 4096,
-                      max_surface: int = 512 * 1024, fill: bool = True):
+                      max_surface: int = 512 * 1024, max_rows: int = 8192,
+                      shell_band: float = 0.999, fill: bool = True):
     zbuf, vid, _ = _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4,
                                          H, W, nby, nbz, max_blocks,
-                                         max_surface)
+                                         max_surface, max_rows, shell_band)
     zb2, vd2 = (zbuf.reshape(H, W), vid.reshape(H, W))
     if fill:
         zb2, vd2 = _fill_holes(zb2, vd2)
@@ -258,9 +289,10 @@ def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
     box_mask [H, W, K] bool) — nearest-voxel counts instead of trilinear
     interpolation (fast mode)."""
     M, m4 = pinhole_of_extrinsic(extrinsic2init, intrinsic)
-    zbuf, vid, overflow = splat_zbuffer(b, M, m4, H, W,
-                                        cfg.splat_max_blocks,
-                                        cfg.splat_max_surface)
+    zbuf, vid, overflow = splat_zbuffer(
+        b, M, m4, H, W, cfg.splat_max_blocks, cfg.splat_max_surface,
+        getattr(cfg, "splat_max_rows", 8192),
+        getattr(cfg, "splat_shell_band", 0.999))
     zb2, vd2 = _fill_holes(zbuf.reshape(H, W), vid.reshape(H, W))
     have = vd2 >= 0
     vsafe = jnp.maximum(vd2, 0)
@@ -284,7 +316,42 @@ def splat_render(b, M, m4, H, W, cfg, mode="instance", max_blocks=None,
     return _splat_render_jit(b.diff, b.colorpk, b.hist, b.vol_start,
                              b.voxel, M, m4, H, W, b.nby, b.nbz, mode=mode,
                              max_blocks=max_blocks or cfg.splat_max_blocks,
-                             max_surface=cfg.splat_max_surface, fill=fill)
+                             max_surface=cfg.splat_max_surface,
+                             max_rows=getattr(cfg, "splat_max_rows", 8192),
+                             shell_band=getattr(cfg, "splat_shell_band", 0.999),
+                             fill=fill)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "mode", "max_blocks",
+                                   "max_surface", "max_rows", "shell_band",
+                                   "fill", "nby", "nbz"))
+def _splat_render_orbit_jit(diff, colorpk, hist, vol_start, voxel, angle,
+                            dist, intrinsic, H: int, W: int, nby: int,
+                            nbz: int, mode: str = "instance",
+                            max_blocks: int = 4096,
+                            max_surface: int = 512 * 1024,
+                            max_rows: int = 8192, shell_band: float = 0.999,
+                            fill: bool = True):
+    M, m4 = pinhole_of_orbit(angle, dist, intrinsic)
+    return _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
+                             H, W, nby, nbz, mode=mode,
+                             max_blocks=max_blocks, max_surface=max_surface,
+                             max_rows=max_rows, shell_band=shell_band,
+                             fill=fill)
+
+
+def splat_render_orbit(b, angle, dist, intrinsic, H, W, cfg,
+                       mode="instance", fill=True):
+    """Orbit render with the camera math INSIDE the jit: the eager
+    pinhole_of_orbit would otherwise cost a relay round-trip per tiny op
+    on a remote device link (~30 ms/frame of pure dispatch)."""
+    return _splat_render_orbit_jit(
+        b.diff, b.colorpk, b.hist, b.vol_start, b.voxel,
+        jnp.asarray(angle, jnp.float32), jnp.asarray(dist, jnp.float32),
+        jnp.asarray(intrinsic, jnp.float32), H, W, b.nby, b.nbz, mode=mode,
+        max_blocks=cfg.splat_max_blocks, max_surface=cfg.splat_max_surface,
+        max_rows=getattr(cfg, "splat_max_rows", 8192),
+        shell_band=getattr(cfg, "splat_shell_band", 0.999), fill=fill)
 
 
 def splat_probe(b, extrinsic2init, intrinsic, H, W, cfg, max_blocks=None):

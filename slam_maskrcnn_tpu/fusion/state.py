@@ -70,9 +70,20 @@ class FusionConfig:
     # h is DMA-sublane-aligned (multiple of 8); w needs footprint + 128
     # lane-alignment slack and must be a multiple of 128.
     # (96, 256) + near_block_budget 256 measured fastest at 256^3 with
-    # zero misses (the rect scales the one-hot matmul + VPU recombine;
-    # oversized footprints route to the full-image pass B)
+    # zero misses (the rect scales the per-voxel lookup work; oversized
+    # footprints route to the full-image pass B)
     pallas_rect: tuple = (96, 256)
+    # rect for the transposed "gather_t" lookup: (sublanes over u with
+    # 8-alignment slack, lanes over v with 128 slack) — the u footprint
+    # must fit rect_t[0] - 8, the v footprint 128
+    pallas_rect_t: tuple = (64, 256)
+    # Pallas rect-lookup scheme: "gather" / "gather_t" (per-sublane-row
+    # tpu.dynamic_gather + one-hot contraction — zero MXU work, exact f32
+    # passthrough; _t uses a transposed table with a smaller rect) or
+    # "matmul" (int8 one-hot MXU matmul over 8-bit planes). All bit-exact;
+    # gather measured 4x faster (the matmul's wide int32 output dominated
+    # VPU time). See ops/pallas/fuse_kernel.py.
+    pallas_lookup: str = "gather"
     # splat probe/renderer compaction budgets: blocks holding surface, and
     # visible surface voxels kept for the z-buffer scatters. Scatter cost
     # scales with these STATIC sizes (measured 256^3 step: 326 ms at
@@ -80,6 +91,15 @@ class FusionConfig:
     # into the step's miss/overflow channel, so raise them when that fires
     splat_max_blocks: int = 2048
     splat_max_surface: int = 256 * 1024
+    # 128-lane rows holding visible surface kept by the splat's level-1
+    # compaction (nonzero's bincount scatter scales with its INPUT size;
+    # compacting rows first shrinks the voxel-level nonzero input from
+    # max_blocks*2048 to max_rows*128 — see fusion/splat.py)
+    splat_max_rows: int = 12288
+    # surface shell thickness (normalized SDF band (-band, 0)) kept by the
+    # splat. 0.999 = the full first-negative band; thinner bands punch
+    # probe holes at grazing surfaces (projective TSDF, see splat.py)
+    splat_shell_band: float = 0.999
     # fuse pass B budget: blocks whose projected footprint exceeds the
     # rect (very-near-camera or camera-plane-straddling blocks) are fused
     # in a second full-image-rect pass over a compacted subset of at most

@@ -12,10 +12,18 @@ voxels ≈ 650 ms/frame at 256³. This kernel eliminates ALL gathers:
   The kernel DMAs that rect (static size RECT_H x RECT_W, dynamic
   position, positions precomputed densely in XLA from the 8 block
   corners) into VMEM.
-* Pixel lookup inside the rect = one-hot **row matmul on the MXU**
-  (RowOH [2048, RECT_H] @ rect [RECT_H, RECT_W]) followed by a one-hot
-  column select on the VPU. Depth+mask and the 3 color bytes are packed
-  into two f32 tables (<2^24, so f32 integer arithmetic is exact).
+* Pixel lookup inside the rect: per sublane row of the voxel tile, a
+  **tpu.dynamic_gather** along the rect's lanes + a one-hot contraction
+  of the sublane dim on the VPU (``_rect_lookup_gather``) — exact f32
+  passthrough, zero MXU work. Two orientations: "gather" over the
+  [H, W] table and "gather_t" over a transposed [W', H'] table (the
+  8-slack DMA sublane alignment then lands on u and the rect shrinks
+  from (96, 256) to (64, 256)). The original int8 one-hot MXU matmul
+  lookup is kept as "matmul" (``_rect_lookup_matmul``); it lost because
+  its [2048, RECT_W*6] int32 output forced ~10k post-matmul VPU
+  vreg-ops per block (measured 93.6 -> 22 ms/frame at 256^3).
+  Depth+mask and the 3 color bytes are packed into two f32 tables
+  (<2^24, so f32 integer arithmetic is exact).
 * The per-voxel instance histogram is stored voxel-major as
   [NB, BLOCK_VOX*K/128, 128] — 128-lane rows of 128/K voxels' contiguous
   K-bin groups (row r holds voxels 4r..4r+3 for K=32). This is the
@@ -175,9 +183,16 @@ def _pack_frame(depth, color, mask):
 
 
 def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
-                   rect_h=RECT_H, rect_w=RECT_W):
-    """Rect origin (v0, u0) per block from the 8 projected corners (XLA,
-    dense). Clamped so the rect stays inside the image."""
+                   rect_h=RECT_H, rect_w=RECT_W, img_h=None, img_w=None,
+                   transposed: bool = False):
+    """Rect origin (a0, b0) per block from the 8 projected corners (XLA,
+    dense), where a is the DMA sublane dim (8-aligned starts) and b the
+    lane dim (128-aligned starts). Normal orientation: (a, b) = (v, u)
+    over the [H, W] packed table; transposed (the "gather_t" lookup):
+    (a, b) = (u, v) over a [W', H'] transposed table — the cheap 8-slack
+    alignment then lands on u and the rect shrinks. (H, W) are the stored
+    TABLE dims; (img_h, img_w) the true image dims (default: the table's).
+    Clamped so the rect stays inside the table."""
     nbx, nby, nbz = b.nbx, b.nby, b.nbz
     bx = jnp.arange(nbx, dtype=jnp.float32)[:, None, None]
     by = jnp.arange(nby, dtype=jnp.float32)[None, :, None]
@@ -211,17 +226,25 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
                 vmax = jnp.maximum(vmax, jnp.where(czz > 1e-6, v, -np.inf))
                 any_front = any_front | (czz > 1e-6)
                 all_front = all_front & (czz > 1e-6)
+    if img_h is None:
+        img_h, img_w = H, W
+    if transposed:
+        amin, amax, bmin, bmax = umin, umax, vmin, vmax
+        img_a, img_b = img_w, img_h
+    else:
+        amin, amax, bmin, bmax = vmin, vmax, umin, umax
+        img_a, img_b = img_h, img_w
     # DMA slice starts must respect the (8, 128) tiling: align down. The
     # lane alignment forces rect_w >= footprint + 128.
-    u0 = jnp.floor((umin - 2.0) / 128.0).astype(jnp.int32) * 128
-    v0 = jnp.floor((vmin - 2.0) / 8.0).astype(jnp.int32) * 8
+    a0 = jnp.floor((amin - 2.0) / 8.0).astype(jnp.int32) * 8
+    b0 = jnp.floor((bmin - 2.0) / 128.0).astype(jnp.int32) * 128
     # clamp bounds kept aligned so the aligned-ness survives the clip
-    u_hi = (max(W - rect_w, 0) // 128) * 128
-    v_hi = (max(H - rect_h, 0) // 8) * 8
-    u0 = jnp.clip(u0, 0, u_hi)
-    v0 = jnp.clip(v0, 0, v_hi)
-    u0 = jnp.where(jnp.isfinite(umin), u0, 0)
-    v0 = jnp.where(jnp.isfinite(vmin), v0, 0)
+    a_hi = (max(H - rect_h, 0) // 8) * 8
+    b_hi = (max(W - rect_w, 0) // 128) * 128
+    a0 = jnp.clip(a0, 0, a_hi)
+    b0 = jnp.clip(b0, 0, b_hi)
+    a0 = jnp.where(jnp.isfinite(amin), a0, 0)
+    b0 = jnp.where(jnp.isfinite(bmin), b0, 0)
     # visibility classes:
     # * vis (pass A): all corners in front, projected bbox overlaps the
     #   image, and the bbox FITS the rect window after alignment clamping.
@@ -231,22 +254,117 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     #   blocks whose footprint exceeds the rect. Pass B's rect is the whole
     #   image, so in-image voxels of flagged blocks always fuse exactly.
     partial_behind = any_front & ~all_front
-    overlap = ((umax >= 0) & (umin <= W - 1)
-               & (vmax >= 0) & (vmin <= H - 1))
+    overlap = ((umax >= 0) & (umin <= img_w - 1)
+               & (vmax >= 0) & (vmin <= img_h - 1))
     # only the IN-IMAGE part of the footprint must fit (off-image voxels
     # never fuse): clamp the bbox to the image before the coverage test
-    too_big = ((jnp.minimum(umax, W - 1.0)
-                > (u0 + rect_w - 1).astype(jnp.float32))
-               | (jnp.minimum(vmax, H - 1.0)
-                  > (v0 + rect_h - 1).astype(jnp.float32)))
+    too_big = ((jnp.minimum(amax, img_a - 1.0)
+                > (a0 + rect_h - 1).astype(jnp.float32))
+               | (jnp.minimum(bmax, img_b - 1.0)
+                  > (b0 + rect_w - 1).astype(jnp.float32)))
     vis = all_front & overlap & ~too_big
     flagged = any_front & (partial_behind | (overlap & too_big))
-    # flat [NB*3] (v0, u0, vis): a 2D SMEM operand would be lane-padded to
+    # flat [NB*3] (a0, b0, vis): a 2D SMEM operand would be lane-padded to
     # 128 wide and blow the 1MB SMEM budget
-    origins = jnp.stack([v0.reshape(-1), u0.reshape(-1),
+    origins = jnp.stack([a0.reshape(-1), b0.reshape(-1),
                          vis.reshape(-1).astype(jnp.int32)],
                         axis=-1).reshape(-1)
     return origins, flagged.reshape(-1)
+
+
+def _rect_lookup_gather(rect1_ref, rect2_ref, vl, ul, ok,
+                        rect_h: int, rect_w: int):
+    """Per-voxel rect lookup via tpu.dynamic_gather — zero MXU work.
+
+    For each of the 16 sublane rows of the (16, 128) voxel tile, gather
+    every rect row's lane at that voxel's `ul` (Mosaic's equal-shape
+    ``take_along_axis`` along <=128 lanes), then contract the v dimension
+    with a one-hot mask on the VPU. Exact: the packed f32 values pass
+    through untouched (no plane split, no matmul). Invalid voxels (`ok`
+    false) read 0 -> d_raw == 0 -> invalid, matching the XLA path.
+
+    Replaces the one-hot-matmul lookup (kept as _rect_lookup_matmul): the
+    matmul itself was cheap, but its [2048, rect_w*6] int32 output forced
+    ~10k post-matmul VPU vreg-ops per block; this form touches only
+    [rect_h, 128] tiles (~3k vreg-ops) — measured 93.6 -> see
+    PERFORMANCE.md."""
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (rect_h, TILE_L), 0)
+    rows1, rows2 = [], []
+    for s in range(TILE_S):
+        ul_row = jnp.broadcast_to(ul[s:s + 1, :], (rect_h, TILE_L))
+        vl_row = jnp.broadcast_to(vl[s:s + 1, :], (rect_h, TILE_L))
+        ok_row = jnp.broadcast_to(ok[s:s + 1, :], (rect_h, TILE_L))
+        vmask = ((v_iota == vl_row) & ok_row).astype(jnp.float32)
+        acc1 = jnp.zeros((1, TILE_L), jnp.float32)
+        acc2 = jnp.zeros((1, TILE_L), jnp.float32)
+        for c in range(0, rect_w, TILE_L):
+            idx = jnp.clip(ul_row - c, 0, TILE_L - 1)
+            mc = vmask * (ul_row // TILE_L == c // TILE_L).astype(jnp.float32)
+            g1 = jnp.take_along_axis(rect1_ref[:, c:c + TILE_L], idx, axis=1)
+            g2 = jnp.take_along_axis(rect2_ref[:, c:c + TILE_L], idx, axis=1)
+            acc1 = acc1 + jnp.sum(g1 * mc, axis=0, keepdims=True)
+            acc2 = acc2 + jnp.sum(g2 * mc, axis=0, keepdims=True)
+        rows1.append(acc1)
+        rows2.append(acc2)
+    return (jnp.concatenate(rows1, axis=0), jnp.concatenate(rows2, axis=0))
+
+
+def _rect_lookup_matmul(rect1, rect2, vl, ul, ok, rh_i,
+                        rect_h: int, rect_w: int):
+    """Per-voxel rect lookup via one-hot int8 MXU matmul (the original
+    scheme; see module docstring history). Kept as a fallback
+    (cfg.pallas_lookup = "matmul")."""
+    # column-layout copies for the one-hot gather (supported relayout:
+    # (16,128) -> (1,2048) reshape -> transpose; bool relayouts are not
+    # supported, so ok travels as i32)
+    vl_c = vl.reshape(1, BLOCK_VOX).T
+    ul_c = ul.reshape(1, BLOCK_VOX).T
+    ok_c = ok.astype(jnp.int32).reshape(1, BLOCK_VOX).T == 1
+
+    # row one-hot matmul (MXU) over both tables at once, then a column
+    # one-hot select (VPU). `ok` folded into the one-hot so invalid
+    # voxels read 0 (-> d_raw == 0 -> invalid, same as the XLA path).
+    row_oh = ((vl_c == rh_i) & ok_c).astype(jnp.float32)
+    # Exactness vs MXU rate: a default bf16 matmul would truncate the
+    # packed f32 integers (<2^24), f32 Precision.HIGHEST costs ~6 bf16
+    # passes. Instead decompose both tables into three 8-bit planes —
+    # plane values <= 255 are bf16-exact, the one-hot left operand is
+    # 0/1, and each output sums exactly one product — so a single-pass
+    # bf16 matmul over the 6 planes is bit-exact at full MXU rate. The
+    # planes recombine before the column select (sums of exact ints).
+    both = jnp.concatenate([rect1, rect2], axis=1)
+    p2 = jnp.floor(both / 65536.0)
+    r16 = both - p2 * 65536.0
+    p1 = jnp.floor(r16 / 256.0)
+    p0 = r16 - p1 * 256.0
+    # int8 MXU (2-4x the bf16 rate on v5e): plane bytes shift to
+    # [-128, 127] to fit int8; one-term one-hot sums are exact in
+    # int32, and the +128 offset is restored per voxel afterwards.
+    planes = (jnp.concatenate([p0, p1, p2], axis=1)
+              - 128.0).astype(jnp.int8)
+    ti = jnp.dot(row_oh.astype(jnp.int8), planes,
+                 preferred_element_type=jnp.int32)
+    # recombine planes wide, then column-select per table (tried
+    # the narrower select-per-plane ordering — 18 small selects —
+    # and it measured ~35% SLOWER than these wide fused VPU ops)
+    ok_i = ok_c.astype(jnp.int32) * 128
+    t = (ti + ok_i).astype(jnp.float32)
+    w2 = 2 * rect_w
+    t12 = t[:, :w2] + 256.0 * t[:, w2:2 * w2] + 65536.0 * t[:, 2 * w2:]
+
+    val1c = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
+    val2c = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
+    for c0 in range(0, rect_w, 128):
+        oh_c = (ul_c == (jax.lax.broadcasted_iota(
+            jnp.int32, (BLOCK_VOX, 128), 1) + c0)).astype(jnp.float32)
+        val1c = val1c + jnp.sum(t12[:, c0:c0 + 128] * oh_c, axis=1,
+                                keepdims=True)
+        val2c = val2c + jnp.sum(
+            t12[:, rect_w + c0:rect_w + c0 + 128] * oh_c, axis=1,
+            keepdims=True)
+
+    # back to the (16, 128) tile layout for the update math
+    return (val1c.reshape(TILE_S, TILE_L), val2c.reshape(TILE_S, TILE_L))
 
 
 def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
@@ -259,7 +377,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  *, K: int, H: int, W: int, nby: int, nbz: int,
                  rect_h: int, rect_w: int,
                  color_diff_gate: float, depth_scale: float,
-                 group: int = GROUP, coords: str = "arith"):
+                 group: int = GROUP, coords: str = "arith",
+                 lookup: str = "gather"):
     # origins stride: pass A packs (v0, u0, vis) and derives the block's
     # (bx, by, bz) arithmetically from its position; pass B (full-image
     # rect over a COMPACTED near-block subset) packs (v0, u0, vis, bx, by,
@@ -365,74 +484,33 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             v = jnp.floor((fy * py + cy * pz) / safe_z).astype(jnp.int32)
             in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (pz > 0)
 
-            v0 = origins_ref[blk * ostride]
-            u0 = origins_ref[blk * ostride + 1]
-            ul = u - u0
-            vl = v - v0
-            in_rect = (ul >= 0) & (ul < rect_w) & (vl >= 0) & (vl < rect_h)
+            # (a, b) = rect-relative (sublane, lane) coords: (v, u) for the
+            # normal table, (u, v) for the transposed "gather_t" table
+            oa0 = origins_ref[blk * ostride]
+            ob0 = origins_ref[blk * ostride + 1]
+            if lookup == "gather_t":
+                al, bl = u - oa0, v - ob0
+            else:
+                al, bl = v - oa0, u - ob0
+            in_rect = (al >= 0) & (al < rect_h) & (bl >= 0) & (bl < rect_w)
             miss_ref[0, 0] += jnp.sum((in_img & ~in_rect).astype(jnp.int32))
             ok = in_img & in_rect
-            # column-layout copies for the one-hot gather (supported relayout:
-            # (16,128) -> (1,2048) reshape -> transpose; bool relayouts are not
-            # supported, so ok travels as i32)
-            vl_c = vl.reshape(1, BLOCK_VOX).T
-            ul_c = ul.reshape(1, BLOCK_VOX).T
-            ok_c = ok.astype(jnp.int32).reshape(1, BLOCK_VOX).T == 1
 
-            v0a = pl.multiple_of(v0, 8)
-            u0a = pl.multiple_of(u0, 128)
-            pltpu.make_async_copy(pk1_hbm.at[pl.ds(v0a, rect_h),
-                                             pl.ds(u0a, rect_w)],
+            a0a = pl.multiple_of(oa0, 8)
+            b0a = pl.multiple_of(ob0, 128)
+            pltpu.make_async_copy(pk1_hbm.at[pl.ds(a0a, rect_h),
+                                             pl.ds(b0a, rect_w)],
                                   rect1.at[g], sems.at[0, g]).wait()
-            pltpu.make_async_copy(pk2_hbm.at[pl.ds(v0a, rect_h),
-                                             pl.ds(u0a, rect_w)],
+            pltpu.make_async_copy(pk2_hbm.at[pl.ds(a0a, rect_h),
+                                             pl.ds(b0a, rect_w)],
                                   rect2.at[g], sems.at[1, g]).wait()
 
-            # row one-hot matmul (MXU) over both tables at once, then a column
-            # one-hot select (VPU). `ok` folded into the one-hot so invalid
-            # voxels read 0 (-> d_raw == 0 -> invalid, same as the XLA path).
-            row_oh = ((vl_c == rh_i) & ok_c).astype(jnp.float32)
-            # Exactness vs MXU rate: a default bf16 matmul would truncate the
-            # packed f32 integers (<2^24), f32 Precision.HIGHEST costs ~6 bf16
-            # passes. Instead decompose both tables into three 8-bit planes —
-            # plane values <= 255 are bf16-exact, the one-hot left operand is
-            # 0/1, and each output sums exactly one product — so a single-pass
-            # bf16 matmul over the 6 planes is bit-exact at full MXU rate. The
-            # planes recombine before the column select (sums of exact ints).
-            both = jnp.concatenate([rect1[g], rect2[g]], axis=1)
-            p2 = jnp.floor(both / 65536.0)
-            r16 = both - p2 * 65536.0
-            p1 = jnp.floor(r16 / 256.0)
-            p0 = r16 - p1 * 256.0
-            # int8 MXU (2-4x the bf16 rate on v5e): plane bytes shift to
-            # [-128, 127] to fit int8; one-term one-hot sums are exact in
-            # int32, and the +128 offset is restored per voxel afterwards.
-            planes = (jnp.concatenate([p0, p1, p2], axis=1)
-                      - 128.0).astype(jnp.int8)
-            ti = jnp.dot(row_oh.astype(jnp.int8), planes,
-                         preferred_element_type=jnp.int32)
-            # recombine planes wide, then column-select per table (tried
-            # the narrower select-per-plane ordering — 18 small selects —
-            # and it measured ~35% SLOWER than these wide fused VPU ops)
-            ok_i = ok_c.astype(jnp.int32) * 128
-            t = (ti + ok_i).astype(jnp.float32)
-            w2 = 2 * rect_w
-            t12 = t[:, :w2] + 256.0 * t[:, w2:2 * w2] + 65536.0 * t[:, 2 * w2:]
-
-            val1c = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
-            val2c = jnp.zeros((BLOCK_VOX, 1), jnp.float32)
-            for c0 in range(0, rect_w, 128):
-                oh_c = (ul_c == (jax.lax.broadcasted_iota(
-                    jnp.int32, (BLOCK_VOX, 128), 1) + c0)).astype(jnp.float32)
-                val1c = val1c + jnp.sum(t12[:, c0:c0 + 128] * oh_c, axis=1,
-                                        keepdims=True)
-                val2c = val2c + jnp.sum(
-                    t12[:, rect_w + c0:rect_w + c0 + 128] * oh_c, axis=1,
-                    keepdims=True)
-
-            # back to the (16, 128) tile layout for the update math
-            val1 = val1c.reshape(TILE_S, TILE_L)
-            val2 = val2c.reshape(TILE_S, TILE_L)
+            if lookup in ("gather", "gather_t"):
+                val1, val2 = _rect_lookup_gather(
+                    rect1.at[g], rect2.at[g], al, bl, ok, rect_h, rect_w)
+            else:
+                val1, val2 = _rect_lookup_matmul(
+                    rect1[g], rect2[g], al, bl, ok, rh_i, rect_h, rect_w)
             d_raw = jnp.mod(val1, 65536.0)             # uint16 depth, exact
             m_id = jnp.floor(val1 / 65536.0)           # mask id
             diff_m = d_raw / depth_scale - pz
@@ -507,15 +585,28 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     NB = b.diff.shape[0]
     assert NB % GROUP == 0
 
-    rect_h, rect_w = getattr(cfg, "pallas_rect", (RECT_H, RECT_W))
+    lookup = getattr(cfg, "pallas_lookup", "gather_t")
     pk1, pk2 = _pack_frame(depth, color, mask)
-    # pad the packed tables so a clamped rect DMA is always in bounds
-    Hp, Wp = max(H, rect_h), max(W, rect_w)
-    if (Hp, Wp) != (H, W):
-        pk1 = jnp.pad(pk1, ((0, Hp - H), (0, Wp - W)))
-        pk2 = jnp.pad(pk2, ((0, Hp - H), (0, Wp - W)))
-    origins, flagged = _block_origins(b, extrinsic2init, intrinsic, Hp, Wp,
-                                      rect_h, rect_w)
+    if lookup == "gather_t":
+        # transposed tables [W', H']: the 8-slack sublane alignment lands
+        # on u and the rect shrinks (see _block_origins / FusionConfig)
+        rect_h, rect_w = getattr(cfg, "pallas_rect_t", (64, 256))
+        Hp = max((W + 7) // 8 * 8, rect_h)       # sublane dim = u
+        Wp = max((H + 127) // 128 * 128, rect_w)  # lane dim = v
+        pk1 = jnp.pad(pk1.T, ((0, Hp - W), (0, Wp - H)))
+        pk2 = jnp.pad(pk2.T, ((0, Hp - W), (0, Wp - H)))
+        origins, flagged = _block_origins(b, extrinsic2init, intrinsic,
+                                          Hp, Wp, rect_h, rect_w,
+                                          img_h=H, img_w=W, transposed=True)
+    else:
+        rect_h, rect_w = getattr(cfg, "pallas_rect", (RECT_H, RECT_W))
+        # pad the packed tables so a clamped rect DMA is always in bounds
+        Hp, Wp = max(H, rect_h), max(W, rect_w)
+        if (Hp, Wp) != (H, W):
+            pk1 = jnp.pad(pk1, ((0, Hp - H), (0, Wp - W)))
+            pk2 = jnp.pad(pk2, ((0, Hp - H), (0, Wp - W)))
+        origins, flagged = _block_origins(b, extrinsic2init, intrinsic,
+                                          Hp, Wp, rect_h, rect_w)
 
     E = extrinsic2init.astype(jnp.float32)
     Km = intrinsic.astype(jnp.float32)
@@ -532,7 +623,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
                    rect_h=rect_h, rect_w=rect_w,
                    color_diff_gate=cfg.color_diff_gate,
-                   depth_scale=cfg.depth_scale)
+                   depth_scale=cfg.depth_scale, lookup=lookup)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -611,7 +702,8 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     kern_b = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
                      rect_h=fr_h, rect_w=fr_w,
                      color_diff_gate=cfg.color_diff_gate,
-                     depth_scale=cfg.depth_scale, group=G2, coords="smem")
+                     depth_scale=cfg.depth_scale, group=G2, coords="smem",
+                     lookup=lookup)
     HRK = BLOCK_VOX * K // TILE_L
     grid_b = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -35,11 +35,10 @@ class Viewer:
         cfg = self.cfg or FusionConfig()
         from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import BlockedTSDFState
         if isinstance(state, BlockedTSDFState):
-            from slam_maskrcnn_tpu.fusion.splat import (pinhole_of_orbit,
-                                                        splat_render)
-            M, m4 = pinhole_of_orbit(angle, dist, jnp.asarray(self.intrinsic))
-            return np.asarray(splat_render(state, M, m4, self.height,
-                                           self.width, cfg, mode=mode))
+            from slam_maskrcnn_tpu.fusion.splat import splat_render_orbit
+            return np.asarray(splat_render_orbit(
+                state, angle, dist, jnp.asarray(self.intrinsic),
+                self.height, self.width, cfg, mode=mode))
         from slam_maskrcnn_tpu.fusion.raycast import render_orbit
         return np.asarray(render_orbit(state, angle, dist,
                                        jnp.asarray(self.intrinsic_inv),
