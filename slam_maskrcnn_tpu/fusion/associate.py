@@ -130,7 +130,13 @@ def associate_instances(probs: jax.Array, box_mask: jax.Array,
 
 
 def apply_relabel(mask: jax.Array, relabel: jax.Array) -> jax.Array:
-    """Rewrite mask ids through the relabel table (tsdf.cu:372-389)."""
+    """Rewrite mask ids through the relabel table (tsdf.cu:372-389).
+
+    Dense one-hot contraction instead of ``relabel[mask]``: XLA lowers the
+    latter as ~12-18 ns/index scalar gathers (~5 ms at 480x640); the K=32
+    one-hot select is a fused dense op (PERFORMANCE.md)."""
     K = relabel.shape[0]
     idx = jnp.clip(mask.astype(jnp.int32), 0, K - 1)
-    return relabel[idx].astype(mask.dtype)
+    oh = idx[..., None] == jnp.arange(K, dtype=jnp.int32)
+    out = jnp.sum(jnp.where(oh, relabel, 0), axis=-1)
+    return out.astype(mask.dtype)

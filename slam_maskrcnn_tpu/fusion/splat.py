@@ -274,7 +274,14 @@ def _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
     obj = jnp.argmax(rows, axis=-1)
     maxc = jnp.max(rows, axis=-1)
     lit = have & (obj > 0) & (maxc > 0)
-    img = jnp.where(lit[..., None], jnp.asarray(INSTANCE_PALETTE)[obj], 0)
+    # palette lookup as a dense one-hot contraction: palette[obj] would be
+    # ~130 ns/pixel scalar gathers (the same form that cost apply_relabel
+    # ~40 ms/frame); the K-wide one-hot is a fused dense op
+    pal = jnp.asarray(INSTANCE_PALETTE, jnp.int32)[:K]      # [K, 3]
+    oh = (obj[..., None] == jnp.arange(K, dtype=jnp.int32))  # [H, W, K]
+    img = jnp.einsum("hwk,kc->hwc", oh.astype(jnp.float32),
+                     pal.astype(jnp.float32))
+    img = jnp.where(lit[..., None], img, 0.0)
     return img.astype(jnp.uint8)
 
 

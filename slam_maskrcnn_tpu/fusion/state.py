@@ -95,7 +95,7 @@ class FusionConfig:
     # compaction (nonzero's bincount scatter scales with its INPUT size;
     # compacting rows first shrinks the voxel-level nonzero input from
     # max_blocks*2048 to max_rows*128 — see fusion/splat.py)
-    splat_max_rows: int = 12288
+    splat_max_rows: int = 16384
     # surface shell thickness (normalized SDF band (-band, 0)) kept by the
     # splat. 0.999 = the full first-negative band; thinner bands punch
     # probe holes at grazing surfaces (projective TSDF, see splat.py)

@@ -122,8 +122,12 @@ class MaskRCNNModule(nn.Module):
         # full [B, D, 28, 28, C] stack to the host costs ~25 MB/frame at
         # C=81 (the dominant latency through a remote device link)
         cls = detections[..., 4].astype(jnp.int32)          # [B, D]
-        masks = jnp.take_along_axis(
-            masks, cls[:, :, None, None, None], axis=-1)[..., 0]
+        # per-detection class-plane select as a dense one-hot contraction:
+        # take_along_axis over the 81-wide trailing dim lowers to ~130 ns
+        # scalar gathers per (detection, pixel) — the one-hot is fused
+        oh = (cls[:, :, None] == jnp.arange(self.num_classes)[None, None, :])
+        masks = jnp.einsum("bdhwc,bdc->bdhw", masks,
+                           oh.astype(masks.dtype))
         # quantize for the host transfer (threshold happens at 0.5 anyway)
         masks = jnp.round(masks * 255.0).astype(jnp.uint8)
         return dict(detections=detections, detection_valid=det_valid,

@@ -508,6 +508,9 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             if lookup in ("gather", "gather_t"):
                 val1, val2 = _rect_lookup_gather(
                     rect1.at[g], rect2.at[g], al, bl, ok, rect_h, rect_w)
+            elif lookup == "none":  # ablation only: zero lookup (WRONG math)
+                val1 = jnp.zeros((TILE_S, TILE_L), jnp.float32) + rect1[g, 0, 0]
+                val2 = jnp.zeros((TILE_S, TILE_L), jnp.float32) + rect2[g, 0, 0]
             else:
                 val1, val2 = _rect_lookup_matmul(
                     rect1[g], rect2[g], al, bl, ok, rh_i, rect_h, rect_w)

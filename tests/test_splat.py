@@ -97,3 +97,15 @@ def test_splat_zbuffer_depth_plausible():
     center_z = patch.min()
     assert abs(center_z - 0.75) < 0.05  # sphere front at z = 1 - 0.25
     assert int(overflow) == 0  # budgets not exceeded
+
+
+def test_splat_row_budget_overflow_feeds_miss_channel():
+    """The two-level compaction's row budget must surface drops, not hide
+    them: with max_rows below the occupied-row count, `overflow` > 0."""
+    state = _sphere_state()
+    b = to_blocked(state, CFG)
+    M, m4 = pinhole_of_extrinsic(jnp.eye(4), jnp.asarray(K4))
+    _, _, ovf_ok = splat_zbuffer(b, M, m4, H, W, max_rows=4096)
+    _, _, ovf_tiny = splat_zbuffer(b, M, m4, H, W, max_rows=8)
+    assert int(ovf_ok) == 0
+    assert int(ovf_tiny) > 0
