@@ -21,57 +21,80 @@ log = logging.getLogger(__name__)
 
 
 class Dataset:
-    """Image/class registry (utils.py:233-389 semantics)."""
+    """Image/class registry.
+
+    Same public API as the reference's ``utils.Dataset``
+    (``Mask_RCNN/mrcnn/utils.py:233-330`` — subclasses call ``add_class``/
+    ``add_image`` then ``prepare()``), but a different implementation: the
+    ``(source, id) -> contiguous index`` tables are maintained incrementally
+    at registration time, and ``prepare()`` only derives the flat views
+    from them in one pass. Class/image records are tuples internally;
+    ``image_info`` stays a list of dicts because subclass loaders stash
+    arbitrary per-image payloads in it (that dict IS the extension point).
+    """
 
     def __init__(self, class_map=None):
-        self._image_ids = []
+        # internal class index 0 is always background and belongs to the
+        # anonymous source "" (so it maps into every source's class list)
+        self._classes = [("", 0, "BG")]
+        self._class_index = {("", 0): 0}
         self.image_info = []
-        self.class_info = [{"source": "", "id": 0, "name": "BG"}]
+        self._image_index = {}
+        self._image_ids = np.arange(0)
         self.source_class_ids = {}
 
     def add_class(self, source, class_id, class_name):
-        assert "." not in source, "Source name cannot contain a dot"
-        for info in self.class_info:
-            if info["source"] == source and info["id"] == class_id:
-                return
-        self.class_info.append(
-            {"source": source, "id": class_id, "name": class_name})
+        if "." in source:
+            raise ValueError(f"source name {source!r} may not contain '.'")
+        key = (source, class_id)
+        if key not in self._class_index:  # re-registration is a no-op
+            self._class_index[key] = len(self._classes)
+            self._classes.append((source, class_id, class_name))
 
     def add_image(self, source, image_id, path, **kwargs):
-        info = {"id": image_id, "source": source, "path": path}
-        info.update(kwargs)
-        self.image_info.append(info)
+        self._image_index[(source, image_id)] = len(self.image_info)
+        self.image_info.append(
+            dict(kwargs, id=image_id, source=source, path=path))
+
+    @property
+    def class_info(self):
+        """Records as dicts (reference-shaped view of the tuple storage)."""
+        return [{"source": s, "id": i, "name": n}
+                for s, i, n in self._classes]
 
     def prepare(self, class_map=None):
-        def clean_name(name):
-            return ",".join(name.split(",")[:1])
-
-        self.num_classes = len(self.class_info)
+        self.num_classes = len(self._classes)
         self.class_ids = np.arange(self.num_classes)
-        self.class_names = [clean_name(c["name"]) for c in self.class_info]
+        # display name = text before the first comma of the raw name
+        self.class_names = [name.split(",")[0]
+                            for _, _, name in self._classes]
         self.num_images = len(self.image_info)
         self._image_ids = np.arange(self.num_images)
         self.class_from_source_map = {
-            f"{info['source']}.{info['id']}": id
-            for info, id in zip(self.class_info, self.class_ids)}
+            f"{src}.{cid}": idx
+            for (src, cid), idx in self._class_index.items()}
         self.image_from_source_map = {
-            f"{info['source']}.{info['id']}": id
-            for info, id in zip(self.image_info, self._image_ids)}
-        self.sources = list({i["source"] for i in self.class_info})
-        self.source_class_ids = {}
-        for source in self.sources:
-            self.source_class_ids[source] = []
-            for i, info in enumerate(self.class_info):
-                if i == 0 or source == info["source"]:
-                    self.source_class_ids[source].append(i)
+            f"{src}.{iid}": idx
+            for (src, iid), idx in self._image_index.items()}
+        # per-source class lists: background (0) first, then the source's
+        # own classes in registration order
+        per_source = {}
+        for idx, (src, _, _) in enumerate(self._classes):
+            bucket = per_source.setdefault(src, [0])
+            if idx > 0:
+                bucket.append(idx)
+        self.sources = list(per_source)
+        self.source_class_ids = per_source
 
     def map_source_class_id(self, source_class_id):
         return self.class_from_source_map[source_class_id]
 
     def get_source_class_id(self, class_id, source):
-        info = self.class_info[class_id]
-        assert info["source"] == source
-        return info["id"]
+        src, cid, _ = self._classes[class_id]
+        if src != source:
+            raise KeyError(
+                f"class {class_id} belongs to source {src!r}, not {source!r}")
+        return cid
 
     @property
     def image_ids(self):

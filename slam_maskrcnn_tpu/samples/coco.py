@@ -12,7 +12,6 @@ does.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -86,40 +85,37 @@ class CocoDataset(Dataset):
     """= reference CocoDataset (coco.py:94-308) over plain COCO JSON."""
 
     def load_coco(self, dataset_dir, subset, year="2014", class_ids=None,
-                  max_images=None):
+                  max_images=None, return_coco=False):
+        """Register a COCO split through the annotation API (the reference
+        builds a ``COCO`` object the same way, coco.py:101-141)."""
+        from slam_maskrcnn_tpu.eval.coco_api import COCO
+
         ann_file = os.path.join(dataset_dir, "annotations",
                                 f"instances_{subset}{year}.json")
-        with open(ann_file) as f:
-            coco = json.load(f)
+        coco = COCO(ann_file)
         img_subset = "val" if subset in ("minival", "valminusminival") \
             else subset
         image_dir = os.path.join(dataset_dir, f"{img_subset}{year}")
 
-        cats = sorted(coco["categories"], key=lambda c: c["id"])
-        if class_ids:
-            cats = [c for c in cats if c["id"] in class_ids]
-        for c in cats:
+        cat_ids = sorted(class_ids or coco.getCatIds())
+        for c in coco.loadCats(cat_ids):
             self.add_class("coco", c["id"], c["name"])
-        wanted = {c["id"] for c in cats}
 
-        anns_by_img: dict = {}
-        for a in coco["annotations"]:
-            if class_ids and a["category_id"] not in wanted:
-                continue
-            anns_by_img.setdefault(a["image_id"], []).append(a)
-
-        images = coco["images"]
         if class_ids:
-            images = [i for i in images if i["id"] in anns_by_img]
+            image_ids = sorted({i for cid in cat_ids
+                                for i in coco.getImgIds(catIds=[cid])})
+        else:
+            image_ids = sorted(coco.imgs)
         if max_images:
-            images = images[:max_images]
-        for info in images:
+            image_ids = image_ids[:max_images]
+        for info in coco.loadImgs(image_ids):
             self.add_image(
                 "coco", image_id=info["id"],
                 path=os.path.join(image_dir, info["file_name"]),
                 width=info["width"], height=info["height"],
-                annotations=anns_by_img.get(info["id"], []))
-        return self
+                annotations=coco.loadAnns(coco.getAnnIds(
+                    imgIds=[info["id"]], catIds=cat_ids, iscrowd=None)))
+        return coco if return_coco else self
 
     def load_mask(self, image_id):
         info = self.image_info[image_id]

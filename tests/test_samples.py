@@ -50,6 +50,53 @@ def test_coco_dataset_from_json(tmp_path):
     assert ds.class_names[ids[0]] == "truck"
 
 
+def test_coco_annotation_api(tmp_path):
+    """The pycocotools COCO surface (eval/coco_api.py): index, filtered id
+    queries, loadRes derivation, annToMask."""
+    from slam_maskrcnn_tpu.eval.coco_api import COCO
+
+    data = {
+        "info": {"year": 2014},
+        "images": [{"id": 1, "file_name": "a.png", "width": 20, "height": 10},
+                   {"id": 2, "file_name": "b.png", "width": 20, "height": 10}],
+        "categories": [
+            {"id": 3, "name": "cat", "supercategory": "animal"},
+            {"id": 9, "name": "car", "supercategory": "vehicle"}],
+        "annotations": [
+            {"id": 100, "image_id": 1, "category_id": 3, "iscrowd": 0,
+             "segmentation": [[2, 2, 8, 2, 8, 6, 2, 6]], "area": 24,
+             "bbox": [2, 2, 6, 4]},
+            {"id": 101, "image_id": 2, "category_id": 9, "iscrowd": 1,
+             "segmentation": [[0, 0, 5, 0, 5, 5, 0, 5]], "area": 400,
+             "bbox": [0, 0, 5, 5]}],
+    }
+    path = tmp_path / "ann.json"
+    path.write_text(json.dumps(data))
+    coco = COCO(str(path))
+    assert sorted(coco.getCatIds()) == [3, 9]
+    assert coco.getCatIds(catNms=["car"]) == [9]
+    assert coco.getCatIds(supNms=["animal"]) == [3]
+    assert coco.getImgIds(catIds=[3]) == [1]
+    assert sorted(coco.getImgIds()) == [1, 2]
+    assert coco.getAnnIds(imgIds=[1]) == [100]
+    assert coco.getAnnIds(iscrowd=1) == [101]
+    assert coco.getAnnIds(areaRng=[0, 100]) == [100]
+    assert coco.loadAnns([100])[0]["category_id"] == 3
+    assert coco.loadImgs([2])[0]["file_name"] == "b.png"
+    m = coco.annToMask(coco.loadAnns([100])[0])
+    assert m.shape == (10, 20) and m[4, 5] and not m[9, 19]
+    rle = coco.annToRLE(coco.loadAnns([100])[0])
+    assert rle["size"] == [10, 20]
+    # results path: bbox-only detections gain area/segmentation/ids
+    res = coco.loadRes([{"image_id": 1, "category_id": 3,
+                         "bbox": [1.0, 1.0, 4.0, 4.0], "score": 0.9}])
+    (ann,) = res.loadAnns(res.getAnnIds(imgIds=[1]))
+    assert ann["area"] == 16.0 and ann["iscrowd"] == 0
+    assert len(res.dataset["images"]) == 2
+    arr = np.array([[2, 1, 1, 3, 3, 0.5, 9]])
+    assert coco.loadNumpyAnnotations(arr)[0]["image_id"] == 2
+
+
 def test_ann_to_mask_rle_dict():
     from slam_maskrcnn_tpu.eval.rle import rle_encode
     m = np.zeros((10, 12), np.uint8)
