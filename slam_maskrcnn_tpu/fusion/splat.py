@@ -115,30 +115,56 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     # (caught by test_pipeline_pallas). Row occupancy is also insensitive
     # to band thickness (a 128-lane row spans 32 z-voxels), so the win
     # would have been small anyway.
-    shell = (diff < 0.0) & (diff > -shell_band)
-    act = shell.any(axis=(1, 2))
+    #
+    # Compaction happens at 128-lane-ROW granularity BEFORE any geometry:
+    # one fused pass over diff marks shell rows, one nonzero compacts
+    # them, and everything downstream (projection included) runs on the
+    # [max_rows, 128] compacted view. Earlier versions projected all
+    # voxels of every active BLOCK first (8.4M voxels at 256^3) and
+    # compacted after — the dense projection itself was ~1/3 of the probe.
+    # Layout discipline (measured, round 2): every intermediate here is
+    # either 1-D or has a 128-multiple lane dim. A [NB, 16]-shaped
+    # "shell rows" bitmap looks natural but its 16-lane layout cliffs
+    # cost ~100 ms/frame at 256^3 in reductions/gathers.
+    #
+    # Two-level compaction (nonzero cost scales with its INPUT — the
+    # bincount scatter-add, ~12-18 ns/elem): blocks first ([NB] via a
+    # lane-merged [NB, 2048] reduce), then rows within active blocks.
+    shell3 = (diff < 0.0) & (diff > -shell_band)
+    act = shell3.reshape(NB, S * L).any(axis=1)          # wide reduce -> 1-D
     n_act = act.sum()
-    (ids,) = jnp.nonzero(act, size=max_blocks, fill_value=NB)
-    id_ok = ids < NB
-    ids_c = jnp.minimum(ids, NB - 1)
+    (bids,) = jnp.nonzero(act, size=max_blocks, fill_value=NB)
+    bid_ok = bids < NB
+    bids_c = jnp.minimum(bids, NB - 1)
+    diff_a = diff[bids_c]                   # [MB, S, L] wide row gather
+    sh_a = ((diff_a < 0.0) & (diff_a > -shell_band)
+            & bid_ok[:, None, None])
+    row_any = sh_a.reshape(-1, L).any(axis=1)            # [MB*S] 1-D
+    (rsel,) = jnp.nonzero(row_any, size=max_rows, fill_value=row_any.size)
+    rid_ok = rsel < row_any.size
+    rsel_c = jnp.minimum(rsel, row_any.size - 1)
 
-    diff_a = diff[ids_c]                        # [MB, S, L] one row-gather
-    shell_a = ((diff_a < 0.0) & (diff_a > -shell_band)
-               & id_ok[:, None, None])
+    diff_r = diff_a.reshape(-1, L)[rsel_c]              # [MR, 128] row gather
+    shell_r = ((diff_r < 0.0) & (diff_r > -shell_band)
+               & rid_ok[:, None])
+    # true row id (block * S + s) for world coordinates: a small scalar
+    # gather into the [MB] id table (~130 ns/idx — max_rows of them)
+    rids_c = bids_c[rsel_c // S] * S + rsel_c % S
 
-    # voxel world positions from block ids + intra-block iota
-    bx = (ids_c // (nbz * nby)).astype(jnp.float32)
-    by = ((ids_c // nbz) % nby).astype(jnp.float32)
-    bz = (ids_c % nbz).astype(jnp.float32)
-    s_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
-    l_i = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
-    vlin = s_i * L + l_i
+    # voxel world positions from row ids (row = blk * S + s) + lane iota
+    blk = rids_c // S
+    s_r = rids_c % S
+    bxf = (blk // (nbz * nby)).astype(jnp.float32)
+    byf = ((blk // nbz) % nby).astype(jnp.float32)
+    bzf = (blk % nbz).astype(jnp.float32)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (diff_r.shape[0], L), 1)
+    vlin = s_r[:, None] * L + l_i                       # intra-block voxel
     dx = (vlin // (8 * 32)).astype(jnp.float32)
     dy = ((vlin // 32) % 8).astype(jnp.float32)
     dz = (vlin % 32).astype(jnp.float32)
-    gx = bx[:, None, None] * 8 + dx[None]
-    gy = by[:, None, None] * 8 + dy[None]
-    gz = bz[:, None, None] * 32 + dz[None]
+    gx = bxf[:, None] * 8 + dx
+    gy = byf[:, None] * 8 + dy
+    gz = bzf[:, None] * 32 + dz
     px = vol_start[0] + gx * voxel[0]
     py = vol_start[1] + gy * voxel[1]
     pz = vol_start[2] + gz * voxel[2]
@@ -149,29 +175,14 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     safe = jnp.where(jnp.abs(sz) < 1e-9, 1e-9, sz)
     u = jnp.floor(sx / safe + 0.5).astype(jnp.int32)
     v = jnp.floor(sy / safe + 0.5).astype(jnp.int32)
-    vis = shell_a & (sz > 1e-6) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
-    pix = jnp.where(vis, v * W + u, H * W)
-    z = jnp.where(vis, sz, BIG)
-    code = (ids_c[:, None, None] * (S * L) + vlin[None]).astype(jnp.int32)
+    vis_r = shell_r & (sz > 1e-6) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    pix_r = jnp.where(vis_r, v * W + u, H * W)
+    z_r = jnp.where(vis_r, sz, BIG)
+    code_r = (blk[:, None] * (S * L) + vlin).astype(jnp.int32)
 
-    # compact visible surface voxels before the scatters, in TWO levels:
-    # jnp.nonzero(size=k) is cumsum(bincount(cumsum(mask))) whose bincount
-    # is a scatter-add over the full INPUT (~12-18 ns/index, PERFORMANCE.md)
-    # — a flat nonzero over max_blocks*2048 = 4.2M lanes costs ~50 ms.
-    # Level 1 compacts at 128-lane-row granularity (nonzero input 32k +
-    # fast 0.1 us row gathers); level 2's voxel nonzero then runs over only
-    # max_rows*128 lanes. Measured: 48 ms -> ~13 ms at the 256^3 defaults.
-    max_surface = min(max_blocks * 2048 // 8, max_surface)
-    rows_vis = vis.reshape(-1, L)                       # [MB*S, 128]
-    row_any = rows_vis.any(axis=1)
-    (rids,) = jnp.nonzero(row_any, size=max_rows, fill_value=row_any.size)
-    rid_ok = rids < row_any.size
-    rids_c = jnp.minimum(rids, row_any.size - 1)
-    vis_r = rows_vis[rids_c] & rid_ok[:, None]          # row gathers
-    z_r = z.reshape(-1, L)[rids_c]
-    pix_r = pix.reshape(-1, L)[rids_c]
-    code_r = code.reshape(-1, L)[rids_c]
-
+    # level-2 compaction: visible surface voxels within the shell rows
+    # (jnp.nonzero(size=k) = cumsum(bincount(cumsum(mask))) — its cost
+    # scales with the INPUT, which is now max_rows*128 lanes, not NB*2048)
     (sel,) = jnp.nonzero(vis_r.reshape(-1), size=max_surface,
                          fill_value=vis_r.size)
     sel_ok = sel < vis_r.size
@@ -180,22 +191,36 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     pix_s = jnp.where(sel_ok, pix_r.reshape(-1)[sel_c], H * W)
     code_s = code_r.reshape(-1)[sel_c]
 
-    n_vis = vis.sum()
+    n_vis = vis_r.sum()
     n_rows = row_any.sum()
     overflow = (jnp.maximum(n_act - max_blocks, 0) * (S * L)
                 + jnp.maximum(n_rows - max_rows, 0) * L
                 + jnp.maximum(n_vis - max_surface, 0))
 
-    zbuf = jnp.full((H * W + 1,), BIG, jnp.float32)
-    zbuf = zbuf.at[pix_s].min(z_s)
-
-    # winner voxel per pixel (ties resolved by min voxel id)
-    z_at = zbuf[pix_s]
-    win = sel_ok & (z_s <= z_at)
-    vbuf = jnp.full((H * W + 1,), jnp.int32(2 ** 31 - 1), jnp.int32)
-    vbuf = vbuf.at[pix_s].min(jnp.where(win, code_s, 2 ** 31 - 1))
-    vid = jnp.where(zbuf[:-1] < BIG, vbuf[:-1], -1)
-    return zbuf[:-1], vid, overflow
+    # ONE scatter-min of a packed key resolves depth AND winner: key =
+    # quantized-z << idx_bits | compact-surface index. The old
+    # zbuf-scatter + z_at-gather + winner-scatter triple cost ~50% more;
+    # z quantization (sub-mm over a ~6 m range at the default budgets)
+    # only reorders voxels within one quantum — invisible to shading and
+    # association. zbuf is returned dequantized (it only feeds emptiness
+    # tests and hole-fill ordering).
+    idx_bits = max(int(max_surface - 1).bit_length(), 1)
+    z_bits = 31 - idx_bits
+    assert z_bits >= 8, f"max_surface {max_surface} leaves {z_bits} z bits"
+    z_levels = float(2 ** z_bits)
+    z_scale = z_levels / 8.0            # quantize over [0, 8) meters-ish
+    zq = jnp.clip(z_s * z_scale, 0.0, z_levels - 1.0).astype(jnp.int32)
+    idx32 = jax.lax.broadcasted_iota(jnp.int32, (max_surface,), 0)
+    key = jnp.where(sel_ok, (zq << idx_bits) | idx32, jnp.int32(2 ** 31 - 1))
+    kbuf = jnp.full((H * W + 1,), jnp.int32(2 ** 31 - 1), jnp.int32)
+    kbuf = kbuf.at[pix_s].min(key)
+    have = kbuf[:-1] != 2 ** 31 - 1
+    widx = jnp.minimum(kbuf[:-1] & (2 ** idx_bits - 1), max_surface - 1)
+    vid = jnp.where(have, code_s[widx], -1)
+    zbuf = jnp.where(have,
+                     (kbuf[:-1] >> idx_bits).astype(jnp.float32) / z_scale,
+                     BIG)
+    return zbuf, vid, overflow
 
 
 def _gather_hist_rows(hist, vox_ids, K):

@@ -106,7 +106,8 @@ def to_blocked(state: TSDFState, cfg: FusionConfig) -> BlockedTSDFState:
     assert 128 % K == 0, f"max_objects {K} must divide 128"
     h = state.hist.reshape(nbx, BX, nby, BY, nbz, BZ, K)
     h = h.transpose(0, 2, 4, 1, 3, 5, 6)  # [nbx,nby,nbz, BX,BY,BZ, K]
-    h = h.reshape(NB, BLOCK_VOX * K // 128, 128).astype(jnp.uint16)
+    bdt = jnp.uint8 if state.hist.dtype == jnp.uint8 else jnp.uint16
+    h = h.reshape(NB, BLOCK_VOX * K // 128, 128).astype(bdt)
     return BlockedTSDFState(
         diff=blk(state.diff), colorpk=blk(colorpk),
         weight=blk(state.weight), hist=h,
@@ -132,7 +133,9 @@ def init_blocked(cfg: FusionConfig, vol_start, vol_end,
         diff=jnp.full((NB, TILE_S, TILE_L), mu, jnp.float32),
         colorpk=jnp.zeros((NB, TILE_S, TILE_L), jnp.float32),
         weight=jnp.zeros((NB, TILE_S, TILE_L), jnp.int32),
-        hist=jnp.zeros((NB, BLOCK_VOX * K // 128, 128), jnp.uint16),
+        hist=jnp.zeros((NB, BLOCK_VOX * K // 128, 128),
+                       jnp.uint8 if cfg.hist_dtype == jnp.uint8
+                       else jnp.uint16),
         vol_start=vol_start, vol_end=vol_end, voxel=voxel, mu=mu,
         n_obs=jnp.zeros((), jnp.int32),
         num_objs=jnp.asarray(num_objs, jnp.int32),
@@ -404,11 +407,16 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                       params_ref[15])
     mu = params_ref[16]
 
-    for g in range(group):
+    # Both per-group loops are lax.fori_loop with dynamic ref indexing,
+    # NOT python unrolls: a 16x unrolled body produced ~1 MB of MLIR and
+    # 700+ s Mosaic compiles at 256^3. The group's rect DMAs all start
+    # here before any compute, so block g's copy overlaps blocks 0..g-1's
+    # compute exactly as the unrolled version did.
+    def _dma_body(g, _):
         blk = step * group + g
 
         @pl.when(origins_ref[blk * ostride + 2] == 1)
-        def _(blk=blk, g=g):
+        def _():
             v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
             u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
             pltpu.make_async_copy(
@@ -417,6 +425,9 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             pltpu.make_async_copy(
                 pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
                 rect2.at[g], sems.at[1, g]).start()
+        return 0
+
+    jax.lax.fori_loop(0, group, _dma_body, 0)
 
     # per-voxel coordinates in the native (16, 128) tile layout
     # (all VPU math runs here; earlier versions computed in a (2048, 1)
@@ -449,11 +460,11 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     lane_src = (rj % rows_per_s) * VPK + jj // K   # l of voxel at (r, j)
     k_lane = (jj % K).astype(jnp.float32)
 
-    for g in range(group):
+    def _block_body(g, _):
         blk = step * group + g
 
         @pl.when(origins_ref[blk * ostride + 2] == 0)
-        def _(g=g, blk=blk):
+        def _():
             # block invisible this frame: every voxel is invalid,
             # the update is the identity — skip DMA/MXU entirely
             diff_out[g] = diff_ref[g]
@@ -462,7 +473,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             hist_out[g] = hist_ref[g]
 
         @pl.when(origins_ref[blk * ostride + 2] == 1)
-        def _(g=g, blk=blk):
+        def _():
             if coords == "arith":
                 bz = jax.lax.rem(blk, nbz)
                 by = jax.lax.rem(blk // nbz, nby)
@@ -553,17 +564,42 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             # histogram in the row-native layout: replicate each s-row of
             # (m, gate) to its hist rows on the MXU (bf16-exact: values
             # <= K-1 and 0/1, one-term sums), then lane-gather the voxel
-            # column and compare against the k lane pattern
-            m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-            g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
-            m_exp = jnp.take_along_axis(m2, lane_src, axis=1)
-            g_exp = jnp.take_along_axis(g2, lane_src, axis=1)
-            oh = (m_exp == k_lane) & (g_exp > 0.5)
-            hist_out[g] = hist_ref[g] + oh.astype(jnp.uint16)
+            # column and compare against the k lane pattern. Only blocks
+            # with at least one gated (near-surface) voxel pay for this —
+            # most visible blocks are free space and take the identity.
+            any_gate = jnp.any(gate)
+            hdt = hist_ref.dtype
+
+            @pl.when(any_gate)
+            def _():
+                m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+                g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+                m_exp = jnp.take_along_axis(m2, lane_src, axis=1)
+                g_exp = jnp.take_along_axis(g2, lane_src, axis=1)
+                oh = (m_exp == k_lane) & (g_exp > 0.5)
+                if hdt == jnp.uint8:
+                    # u8 counts saturate instead of wrapping (the u8 mode
+                    # is exact for <= 255 fused frames — the reference
+                    # workload caps at 100, kernel.cpp:74). Mosaic's v5e
+                    # vector ALU has no i8 add and no i16 compare —
+                    # compute in i32, store u8: HBM traffic still halves,
+                    # which is what u8 buys.
+                    h32 = hist_ref[g].astype(jnp.int32)
+                    oh32 = (oh & (h32 < 255)).astype(jnp.int32)
+                    hist_out[g] = (h32 + oh32).astype(hdt)
+                else:
+                    hist_out[g] = hist_ref[g] + oh.astype(hdt)
+
+            @pl.when(~any_gate)
+            def _():
+                hist_out[g] = hist_ref[g]
 
             wt_out[g] = wt_ref[g] + valid.astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, group, _block_body, 0)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -673,7 +709,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
             jax.ShapeDtypeStruct(b.diff.shape, jnp.float32),
             jax.ShapeDtypeStruct(b.colorpk.shape, jnp.float32),
             jax.ShapeDtypeStruct(b.weight.shape, jnp.int32),
-            jax.ShapeDtypeStruct(b.hist.shape, jnp.uint16),
+            jax.ShapeDtypeStruct(b.hist.shape, b.hist.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
@@ -752,7 +788,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
             jax.ShapeDtypeStruct(db.shape, jnp.float32),
             jax.ShapeDtypeStruct(cb.shape, jnp.float32),
             jax.ShapeDtypeStruct(wb.shape, jnp.int32),
-            jax.ShapeDtypeStruct(hb.shape, jnp.uint16),
+            jax.ShapeDtypeStruct(hb.shape, hb.dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ],
         input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},

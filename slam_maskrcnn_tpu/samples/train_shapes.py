@@ -71,6 +71,15 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (tests/debug)")
+    ap.add_argument("--decay-epochs", type=int, default=0,
+                    help="extra epochs at lr/10 after the main schedule "
+                         "(the reference's final-stage lr drop, "
+                         "coco.py:514-520)")
+    ap.add_argument("--augment", action="store_true",
+                    help="legacy fliplr augmentation during training")
+    ap.add_argument("--save", default=None,
+                    help="write trained weights (Keras-layout h5) + a "
+                         ".eval.json log next to it")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -96,7 +105,14 @@ def main(argv=None):
     trainer = Trainer(model, cfg)
     t0 = time.time()
     trainer.train(train_ds, learning_rate=args.lr, epochs=args.epochs,
-                  layers=args.layers, checkpoint=False)
+                  layers=args.layers, augment=args.augment,
+                  checkpoint=False)
+    if args.decay_epochs:
+        lr = args.lr if args.lr is not None else cfg.LEARNING_RATE
+        trainer.train(train_ds, learning_rate=lr / 10.0,
+                      epochs=args.epochs + args.decay_epochs,
+                      layers=args.layers, augment=args.augment,
+                      checkpoint=False)
     train_s = time.time() - t0
 
     # move the trained params into an inference-mode model
@@ -107,13 +123,24 @@ def main(argv=None):
     m_ap = evaluate_map(inf, val_ds, icfg, val_ds.image_ids, verbose=1)
     eval_s = time.time() - t0
 
-    print(json.dumps({
+    summary = {
         "metric": "shapes_map50",
         "value": round(m_ap, 4),
         "unit": "mAP@0.5",
         "train_seconds": round(train_s, 1),
         "eval_seconds": round(eval_s, 1),
-    }))
+        "epochs": args.epochs + args.decay_epochs,
+        "steps_per_epoch": args.steps,
+        "layers": args.layers,
+    }
+    print(json.dumps(summary))
+    if args.save:
+        from slam_maskrcnn_tpu.models.import_h5 import save_h5_weights
+
+        save_h5_weights(args.save, model.params)
+        with open(args.save + ".eval.json", "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"saved weights to {args.save}")
     if args.min_map is not None and m_ap < args.min_map:
         raise SystemExit(
             f"mAP@50 {m_ap:.3f} below the {args.min_map} gate")

@@ -71,6 +71,35 @@ def test_pallas_fuse_matches_xla():
     assert int(dense.n_obs) == int(state.n_obs)
 
 
+def test_u8_hist_mode_matches_u16():
+    """hist_dtype=uint8 halves histogram traffic; counts must agree with
+    the u16 mode exactly (saturation unreachable at 3 frames)."""
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+        init_blocked_from_first_frame)
+
+    cfg8 = FusionConfig(vol_dim=(32, 32, 32), hist_dtype=jnp.uint8,
+                        pallas_rect=(128, 256))
+    frames = _frames(3)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    b16 = init_blocked_from_first_frame(CFG, depth0, K4, md)
+    b8 = init_blocked_from_first_frame(cfg8, depth0, K4, md)
+    assert b8.hist.dtype == jnp.uint8
+    E0inv = np.linalg.inv(frames[0][3])
+    for depth, img, mask, E in frames:
+        e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+        args = (jnp.asarray(depth), jnp.asarray(img), jnp.asarray(mask),
+                e2i, jnp.asarray(K4))
+        b16, m16 = fuse_frame_blocked(b16, *args, CFG)
+        b8, m8 = fuse_frame_blocked(b8, *args, cfg8)
+        assert int(m16) == 0 and int(m8) == 0
+    np.testing.assert_array_equal(
+        np.asarray(b8.hist).astype(np.uint16), np.asarray(b16.hist))
+    np.testing.assert_array_equal(np.asarray(b8.weight),
+                                  np.asarray(b16.weight))
+    np.testing.assert_array_equal(np.asarray(b8.diff), np.asarray(b16.diff))
+
+
 def test_init_blocked_matches_conversion():
     from slam_maskrcnn_tpu.fusion.state import init_state
     from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import init_blocked

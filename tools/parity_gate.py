@@ -1,0 +1,242 @@
+"""Per-round TPU parity gate (VERDICT r1 "next" #3).
+
+Runs the SAME inputs through (a) the CPU jnp graph — exact top-k
+proposals, XLA-oracle fusion — and (b) the production TPU graph —
+``approx_max_k`` proposals, compiled Mosaic fuse/NMS/ROIAlign kernels,
+splat probe — and records their agreement. This is the check CI cannot
+do (tests/conftest.py forces CPU, where Pallas runs in interpret mode):
+a Mosaic-vs-interpret divergence or an approx-top-k regression shows up
+here as a changed artifact.
+
+Phase 1 spawns a CPU subprocess that writes golden outputs to a scratch
+dir; phase 2 (this process, on the TPU) reruns and compares. Output:
+one JSON file (default PARITY.json at the repo root) with:
+
+  fusion:  max |diff| delta, weight/hist/mask exact-equality, misses
+  detect:  per-image detection count delta, matched fraction at IoU 0.9,
+           score MAD over matched pairs (CPU exact top-k vs TPU approx —
+           the quantified platform-conditional semantics of
+           models/proposal.py:36)
+
+Usage: python tools/parity_gate.py [--out PARITY.json] [--vol 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CPU_SCRIPT = r"""
+import sys, numpy as np
+import jax; jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+out_dir = {out_dir!r}
+import jax.numpy as jnp
+from parity_common import build_fusion_inputs, run_fusion, build_model, run_detect
+
+state_arrays, masks = run_fusion({vol})
+np.savez(out_dir + "/fusion_cpu.npz", **state_arrays, masks=masks)
+
+dets = run_detect(out_dir)
+np.savez(out_dir + "/detect_cpu.npz", **dets)
+print("cpu golden written")
+"""
+
+
+def write_common(out_dir: str, vol: int):
+    with open(os.path.join(out_dir, "parity_common.py"), "w") as f:
+        f.write(r'''
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+H, W = 240, 320
+
+
+def build_fusion_inputs(vol):
+    from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
+    from slam_maskrcnn_tpu.fusion import FusionConfig
+    from slam_maskrcnn_tpu.fusion.state import make_intrinsic
+
+    K4 = make_intrinsic(260.0, 260.0, 160.0, 120.0)
+    cfg = FusionConfig(vol_dim=(vol,) * 3, hist_dtype=jnp.uint16)
+    frames = make_sequence(default_scene(), K4, H, W, n_frames=5)
+    return K4, cfg, frames
+
+
+def run_fusion(vol):
+    """The production path: pallas backend (compiled on TPU, interpret on
+    CPU) through the public SemanticFusion driver."""
+    from slam_maskrcnn_tpu.fusion import SemanticFusion
+    from slam_maskrcnn_tpu.ops.pallas import fuse_kernel as fk
+
+    K4, cfg, frames = build_fusion_inputs(vol)
+    f = SemanticFusion(K4, cfg, backend="pallas", miss_check_every=0)
+    masks = []
+    for fr in frames:
+        mg = f.parse_frame(fr["depth"], fr["color"], fr["mask"],
+                           fr["extrinsic"], fr["mean_depth"])
+        if mg is not None:
+            masks.append(np.asarray(mg))
+    st = f.state
+    return (dict(diff=np.asarray(st.diff), colorpk=np.asarray(st.colorpk),
+                 weight=np.asarray(st.weight), hist=np.asarray(st.hist),
+                 misses=np.asarray(f.last_misses)),
+            np.stack(masks))
+
+
+def build_model(seed=0):
+    from slam_maskrcnn_tpu.models import Config, MaskRCNN
+
+    class ParityConfig(Config):
+        NAME = "parity"
+        BACKBONE = "resnet50"
+        NUM_CLASSES = 4
+        IMAGES_PER_GPU = 1
+        GPU_COUNT = 1
+        IMAGE_MIN_DIM = 256
+        IMAGE_MAX_DIM = 256
+        RPN_ANCHOR_SCALES = (16, 32, 64, 128, 256)
+        POST_NMS_ROIS_INFERENCE = 200
+        PRE_NMS_LIMIT = 1000
+        DETECTION_MAX_INSTANCES = 20
+        DETECTION_MIN_CONFIDENCE = 0.0
+
+    model = MaskRCNN("inference", ParityConfig())
+    model.init_params(seed)
+    return model
+
+
+def run_detect(scratch):
+    """Detect 2 deterministic synthetic images. Params come from the CPU
+    process (written on first call) so both platforms run identical
+    weights."""
+    from slam_maskrcnn_tpu.models.import_h5 import (load_h5_weights,
+                                                    save_h5_weights)
+
+    model = build_model()
+    wpath = os.path.join(scratch, "parity_weights.h5")
+    if os.path.exists(wpath):
+        model.params = load_h5_weights(wpath, model.params)
+    else:
+        save_h5_weights(wpath, model.params)
+    rng = np.random.RandomState(7)
+    out = {}
+    for i in range(2):
+        img = (rng.rand(256, 256, 3) * 255).astype(np.uint8)
+        img[60:120, 60:140] = (220, 40, 40)
+        img[150:220, 100:180] = (40, 220, 40)
+        r = model.detect([img], verbose=0)[0]
+        out[f"rois{i}"] = r["rois"].astype(np.float32)
+        out[f"class_ids{i}"] = r["class_ids"].astype(np.int32)
+        out[f"scores{i}"] = r["scores"].astype(np.float32)
+    return out
+''')
+
+
+def match_detections(rois_a, cls_a, sc_a, rois_b, cls_b, sc_b, iou_thr=0.9):
+    """Greedy IoU matching; returns (matched, score MAD)."""
+    if len(rois_a) == 0 or len(rois_b) == 0:
+        return 0, 0.0
+    used = set()
+    matched, mads = 0, []
+    for i in range(len(rois_a)):
+        best, best_iou = -1, iou_thr
+        for j in range(len(rois_b)):
+            if j in used or cls_a[i] != cls_b[j]:
+                continue
+            ya1, xa1, ya2, xa2 = rois_a[i]
+            yb1, xb1, yb2, xb2 = rois_b[j]
+            iy = max(0, min(ya2, yb2) - max(ya1, yb1))
+            ix = max(0, min(xa2, xb2) - max(xa1, xb1))
+            inter = iy * ix
+            union = ((ya2 - ya1) * (xa2 - xa1)
+                     + (yb2 - yb1) * (xb2 - xb1) - inter)
+            iou = inter / union if union > 0 else 0.0
+            if iou > best_iou:
+                best, best_iou = j, iou
+        if best >= 0:
+            used.add(best)
+            matched += 1
+            mads.append(abs(float(sc_a[i]) - float(sc_b[best])))
+    return matched, float(np.mean(mads)) if mads else 0.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY.json"))
+    ap.add_argument("--vol", type=int, default=64)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    scratch = tempfile.mkdtemp(prefix="parity_")
+    write_common(scratch, args.vol)
+
+    # phase 1: CPU golden (subprocess so platform selection is clean)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (env.get("PYTHONPATH", "") + os.pathsep + REPO
+                         + os.pathsep + scratch)
+    print("[parity] phase 1: CPU golden...", flush=True)
+    subprocess.run([sys.executable, "-c",
+                    CPU_SCRIPT.format(repo=REPO, out_dir=scratch,
+                                      vol=args.vol)],
+                   env=env, check=True)
+
+    # phase 2: TPU run (this process)
+    sys.path.insert(0, scratch)
+    sys.path.insert(0, REPO)
+    import jax
+    platform = jax.default_backend()
+    print(f"[parity] phase 2: platform={platform}", flush=True)
+    from parity_common import run_detect, run_fusion
+
+    report = {"platform": platform, "vol": args.vol}
+
+    cpu_f = np.load(os.path.join(scratch, "fusion_cpu.npz"))
+    tpu_state, tpu_masks = run_fusion(args.vol)
+    report["fusion"] = {
+        "diff_max_delta": float(np.abs(tpu_state["diff"]
+                                       - cpu_f["diff"]).max()),
+        "colorpk_max_delta": float(np.abs(tpu_state["colorpk"]
+                                          - cpu_f["colorpk"]).max()),
+        "weight_equal": bool((tpu_state["weight"]
+                              == cpu_f["weight"]).all()),
+        "hist_equal": bool((tpu_state["hist"] == cpu_f["hist"]).all()),
+        "masks_equal": bool((tpu_masks == cpu_f["masks"]).all()),
+        "misses": int(tpu_state["misses"]),
+    }
+
+    cpu_d = np.load(os.path.join(scratch, "detect_cpu.npz"))
+    tpu_d = run_detect(scratch)
+    det = []
+    for i in range(2):
+        n_cpu = len(cpu_d[f"scores{i}"])
+        n_tpu = len(tpu_d[f"scores{i}"])
+        matched, mad = match_detections(
+            cpu_d[f"rois{i}"], cpu_d[f"class_ids{i}"], cpu_d[f"scores{i}"],
+            tpu_d[f"rois{i}"], np.asarray(tpu_d[f"class_ids{i}"]),
+            np.asarray(tpu_d[f"scores{i}"]))
+        det.append({"n_cpu": n_cpu, "n_tpu": n_tpu, "matched": matched,
+                    "match_frac": matched / max(n_cpu, 1),
+                    "score_mad": round(mad, 5)})
+    report["detect"] = det
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    if not args.keep:
+        import shutil
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
