@@ -100,6 +100,20 @@ class FusionConfig:
     # splat. 0.999 = the full first-negative band; thinner bands punch
     # probe holes at grazing surfaces (projective TSDF, see splat.py)
     splat_shell_band: float = 0.999
+    # > 0 enables the splat's sort-based level-2 compaction keeping this
+    # many z-nearest visible voxels per 128-lane row (replaces a ~15 ms
+    # nonzero with a ~5 ms lane sort at the 256^3 budgets — measured
+    # 55 -> 34 ms/frame for the full fusion step). 0 = exact nonzero
+    # compaction; None (default) resolves to 48 for fine volumes
+    # (>= 256^3) and 0 for coarse ones, where shell thickness in voxel
+    # units can exceed any per-row cap. Clipped voxels are counted into
+    # the overflow/miss channel. See fusion/splat.py.
+    splat_row_cap: int | None = None
+
+    def __post_init__(self):
+        if self.splat_row_cap is None:
+            object.__setattr__(self, "splat_row_cap",
+                               48 if min(self.vol_dim) >= 256 else 0)
     # fuse pass B budget: blocks whose projected footprint exceeds the
     # rect (very-near-camera or camera-plane-straddling blocks) are fused
     # in a second full-image-rect pass over a compacted subset of at most

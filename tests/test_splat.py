@@ -109,3 +109,21 @@ def test_splat_row_budget_overflow_feeds_miss_channel():
     _, _, ovf_tiny = splat_zbuffer(b, M, m4, H, W, max_rows=8)
     assert int(ovf_ok) == 0
     assert int(ovf_tiny) > 0
+
+
+def test_splat_row_cap_mode_matches_exact():
+    """sort-compaction (row_cap) vs exact nonzero compaction: same depth
+    buffer and same emptiness; winners may differ only within one z
+    quantum (tie order)."""
+    state = _sphere_state()
+    b = to_blocked(state, CFG)
+    M, m4 = pinhole_of_extrinsic(jnp.eye(4), jnp.asarray(K4))
+    z0, v0, ovf0 = splat_zbuffer(b, M, m4, H, W)
+    z1, v1, ovf1 = splat_zbuffer(b, M, m4, H, W, row_cap=128)
+    assert int(ovf1) == int(ovf0) == 0
+    e0 = np.asarray(z0) > 1e30
+    e1 = np.asarray(z1) > 1e30
+    np.testing.assert_array_equal(e0, e1)
+    near = np.abs(np.asarray(z0)[~e0] - np.asarray(z1)[~e1])
+    assert near.max() < 2e-3  # one z quantum at the default budgets
+    assert ((np.asarray(v0) >= 0) == (np.asarray(v1) >= 0)).all()
