@@ -10,12 +10,20 @@ forward projection instead:
    first negative band the marcher's zero-crossing sits on (0.999 default;
    thinner bands punch holes at grazing surfaces because the projective
    TSDF is not 1-Lipschitz along the image plane);
-2. active blocks only (the blocked state from ops/pallas/fuse_kernel is
-   the input) — one row-gather compacts them;
-3. z-buffer via scatter-min, winner resolution via a second scatter;
-4. shading reads each winner voxel's contiguous K-bin histogram row with
+2. two-level compaction BEFORE any geometry — active blocks ([NB] wide
+   reduce + nonzero), then shell rows within them ([MB*16] 1-D nonzero);
+   only the compacted [max_rows, 128] rows are projected. Every
+   intermediate stays 1-D or 128-lane wide (narrow-lane layouts cost
+   ~100 ms/frame in relayouts, PERFORMANCE.md);
+3. level-2 compaction either exact (flat nonzero) or via one
+   multi-operand minor-dim sort packing each row's visible voxels
+   z-first with a per-row cap (cfg.splat_row_cap — 3x cheaper; clipped
+   voxels feed the overflow channel);
+4. ONE scatter-min of a packed key (quantized z << idx_bits | surface
+   index) resolves depth and winner together;
+5. shading reads each winner voxel's contiguous K-bin histogram row with
    ONE row-gather (the voxel-major hist layout exists for this);
-5. 1-px holes (voxel spacing > pixel spacing) closed by 9 dense shifted
+6. 1-px holes (voxel spacing > pixel spacing) closed by 9 dense shifted
    minimums.
 
 Exact-parity rendering stays available in fusion/raycast.py (the march);

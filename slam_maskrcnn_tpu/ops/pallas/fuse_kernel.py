@@ -376,12 +376,18 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  diff_ref, colorpk_ref, wt_ref, hist_ref,   # VMEM in
                  diff_out, colorpk_out, wt_out, hist_out,   # VMEM out
                  miss_ref,     # SMEM out [1, 1] i32
-                 rect1, rect2, sems,  # scratch
+                 rect1, rect2, sems, hist_buf, hsem,  # scratch
                  *, K: int, H: int, W: int, nby: int, nbz: int,
                  rect_h: int, rect_w: int,
                  color_diff_gate: float, depth_scale: float,
                  group: int = GROUP, coords: str = "arith",
-                 lookup: str = "gather"):
+                 lookup: str = "gather", hist_hbm: bool = False):
+    # hist_hbm: the histogram (the bulk of state bytes — 64-128 B/voxel
+    # vs 12 for diff+color+wt) stays in HBM (pl.ANY, aliased in place)
+    # and moves by manual DMA: read only for VISIBLE blocks, written only
+    # for blocks with gated (near-surface) voxels. BlockSpec streaming
+    # would round-trip every block's histogram every frame — at 512^3
+    # that alone is ~17 GB/frame of traffic.
     # origins stride: pass A packs (v0, u0, vis) and derives the block's
     # (bx, by, bz) arithmetically from its position; pass B (full-image
     # rect over a COMPACTED near-block subset) packs (v0, u0, vis, bx, by,
@@ -425,6 +431,9 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             pltpu.make_async_copy(
                 pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
                 rect2.at[g], sems.at[1, g]).start()
+            if hist_hbm:
+                pltpu.make_async_copy(hist_ref.at[blk], hist_buf.at[g],
+                                      hsem.at[g]).start()
         return 0
 
     jax.lax.fori_loop(0, group, _dma_body, 0)
@@ -470,7 +479,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             diff_out[g] = diff_ref[g]
             colorpk_out[g] = colorpk_ref[g]
             wt_out[g] = wt_ref[g]
-            hist_out[g] = hist_ref[g]
+            if not hist_hbm:   # in-place HBM alias keeps content
+                hist_out[g] = hist_ref[g]
 
         @pl.when(origins_ref[blk * ostride + 2] == 1)
         def _():
@@ -568,10 +578,15 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             # with at least one gated (near-surface) voxel pay for this —
             # most visible blocks are free space and take the identity.
             any_gate = jnp.any(gate)
-            hdt = hist_ref.dtype
+            hdt = hist_buf.dtype if hist_hbm else hist_ref.dtype
+            if hist_hbm:
+                # the DMA-in was started at the group prefetch stage; the
+                # wait is unconditional so the scratch slot can be reused
+                # next grid step even when this block skips the update
+                pltpu.make_async_copy(hist_ref.at[blk], hist_buf.at[g],
+                                      hsem.at[g]).wait()
 
-            @pl.when(any_gate)
-            def _():
+            def _hist_update(h_in):
                 m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
                 g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
@@ -586,15 +601,28 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                     # vector ALU has no i8 add and no i16 compare —
                     # compute in i32, store u8: HBM traffic still halves,
                     # which is what u8 buys.
-                    h32 = hist_ref[g].astype(jnp.int32)
+                    h32 = h_in.astype(jnp.int32)
                     oh32 = (oh & (h32 < 255)).astype(jnp.int32)
-                    hist_out[g] = (h32 + oh32).astype(hdt)
-                else:
-                    hist_out[g] = hist_ref[g] + oh.astype(hdt)
+                    return (h32 + oh32).astype(hdt)
+                return h_in + oh.astype(hdt)
 
-            @pl.when(~any_gate)
-            def _():
-                hist_out[g] = hist_ref[g]
+            if hist_hbm:
+                @pl.when(any_gate)
+                def _():
+                    hist_buf[g] = _hist_update(hist_buf[g])
+                    cp = pltpu.make_async_copy(hist_buf.at[g],
+                                               hist_out.at[blk],
+                                               hsem.at[g])
+                    cp.start()
+                    cp.wait()
+            else:
+                @pl.when(any_gate)
+                def _():
+                    hist_out[g] = _hist_update(hist_ref[g])
+
+                @pl.when(~any_gate)
+                def _():
+                    hist_out[g] = hist_ref[g]
 
             wt_out[g] = wt_ref[g] + valid.astype(jnp.int32)
         return 0
@@ -659,10 +687,12 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         jnp.zeros((15,), jnp.float32),
     ]).astype(jnp.float32)
 
+    HRK = BLOCK_VOX * K // TILE_L
     kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
                    rect_h=rect_h, rect_w=rect_w,
                    color_diff_gate=cfg.color_diff_gate,
-                   depth_scale=cfg.depth_scale, lookup=lookup)
+                   depth_scale=cfg.depth_scale, lookup=lookup,
+                   hist_hbm=True)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -678,8 +708,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, BLOCK_VOX * K // TILE_L, TILE_L),
-                         lambda i, o: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # hist: manual gated DMA
         ],
         out_specs=[
             pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
@@ -688,14 +717,15 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, BLOCK_VOX * K // TILE_L, TILE_L),
-                         lambda i, o: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # hist out = aliased input
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((GROUP, rect_h, rect_w), jnp.float32),
             pltpu.VMEM((GROUP, rect_h, rect_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((GROUP, HRK, TILE_L), b.hist.dtype),
+            pltpu.SemaphoreType.DMA((GROUP,)),
         ],
     )
 
@@ -775,6 +805,9 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
             pltpu.VMEM((G2, fr_h, fr_w), jnp.float32),
             pltpu.VMEM((G2, fr_h, fr_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2, G2)),
+            # unused in hist_hbm=False mode, positionally required
+            pltpu.VMEM((G2, HRK, TILE_L), b.hist.dtype),
+            pltpu.SemaphoreType.DMA((G2,)),
         ],
     )
     db, cb, wb, hb = (new_diff[idc], new_cpk[idc], new_wt[idc],

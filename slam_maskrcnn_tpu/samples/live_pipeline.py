@@ -125,12 +125,6 @@ class LivePipeline:
         fusion.miss_check_every = 0  # no mid-stream sync points
 
         def mold(fr):
-            rgb = np.ascontiguousarray(fr["color"][:, :, ::-1])
-            molded, windows = model.mold_inputs([rgb])
-            mh, mw = molded.shape[1:3]
-            scale = np.array([mh - 1, mw - 1, mh - 1, mw - 1], np.float32)
-            shift = np.array([0, 0, 1, 1], np.float32)
-            nwin = (windows.astype(np.float32) - shift) / scale
             mean_depth = fr.get("mean_depth")
             if mean_depth is None:  # compute on host, not from the staged
                 d = np.asarray(fr["depth"])  # device array (utils.cu:77-91)
@@ -139,9 +133,8 @@ class LivePipeline:
                     (d[valid].astype(np.float64)
                      / fusion.cfg.depth_scale).mean()) if valid.any() else 0.0
             return dict(
-                molded=jnp.asarray(molded), nwin=jnp.asarray(nwin),
                 depth_dev=jnp.asarray(fr["depth"]),
-                color_dev=jnp.asarray(fr["color"]),
+                color_dev=jnp.asarray(np.asarray(fr["color"], np.uint8)),
                 extrinsic=fr["extrinsic"],
                 mean_depth=mean_depth, shape=fr["depth"].shape)
 
@@ -165,24 +158,54 @@ class LivePipeline:
 
         detect_label = None
         anchors = None
+        nwin = None
         t_start = t_steady = time.time()
         n_steady = 0
         last_mask = None
         for fr in _Uploader(seq):
             H, W = fr["shape"]
             if detect_label is None:
+                # molding happens ON DEVICE so only the raw [H, W, 3] u8
+                # frame crosses the link (a 1024^2 molded image is 3 MB
+                # vs 0.9 MB raw — the remote relay moves ~3 MB/140 ms,
+                # and the same buffer feeds fusion). Geometry mirrors
+                # resize_image's square mode (utils.py:392-497) and is
+                # static for a fixed sensor size.
+                mcfg = model.config
+                assert mcfg.IMAGE_RESIZE_MODE == "square", \
+                    "device molding implements the square resize mode"
+                mh = mw = int(mcfg.IMAGE_MAX_DIM)
+                scale = max(1.0, mcfg.IMAGE_MIN_DIM / min(H, W))
+                if mcfg.IMAGE_MIN_SCALE:
+                    scale = max(scale, mcfg.IMAGE_MIN_SCALE)
+                if round(max(H, W) * scale) > mcfg.IMAGE_MAX_DIM:
+                    scale = mcfg.IMAGE_MAX_DIM / max(H, W)
+                rh, rw = round(H * scale), round(W * scale)
+                top, left = (mh - rh) // 2, (mw - rw) // 2
+                win_px = np.array([top, left, top + rh, left + rw],
+                                  np.float32)
+                den = np.array([mh - 1, mw - 1, mh - 1, mw - 1], np.float32)
+                shift = np.array([0, 0, 1, 1], np.float32)
+                nwin = jnp.asarray(((win_px - shift) / den)[None])
                 anchors = jnp.asarray(
-                    get_anchors(model.config, fr["molded"].shape[1:]))
+                    get_anchors(model.config, (mh, mw, 3)))
+                mean = np.asarray(mcfg.MEAN_PIXEL, np.float32)
 
                 @jax.jit
-                def detect_label(params, images, anchors, win):
-                    out = model.module.apply(params, images, anchors, win)
+                def detect_label(params, color_bgr, anchors, win):
+                    rgb = color_bgr[..., ::-1].astype(jnp.float32)
+                    img = jax.image.resize(rgb, (rh, rw, 3),
+                                           method="bilinear")
+                    img = jnp.pad(img, ((top, mh - rh - top),
+                                        (left, mw - rw - left), (0, 0)))
+                    molded = (img - jnp.asarray(mean))[None]
+                    out = model.module.apply(params, molded, anchors, win)
                     return label_masks_device(
                         out["detections"][0], out["masks"][0], win[0],
                         (H, W), min_area=2000)
 
-            mask = detect_label(model.params, fr["molded"], anchors,
-                                fr["nwin"])
+            mask = detect_label(model.params, fr["color_dev"], anchors,
+                                nwin)
             last_mask = mask
             # parse_frame sees pre-staged device arrays: its jnp.asarray
             # calls are no-ops and nothing below reads back to host
