@@ -275,7 +275,7 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     return origins, flagged.reshape(-1)
 
 
-def _rect_lookup_gather(rect1_ref, rect2_ref, vl, ul, ok,
+def _rect_lookup_gather(rect12_ref, vl, ul, ok,
                         rect_h: int, rect_w: int):
     """Per-voxel rect lookup via tpu.dynamic_gather — zero MXU work.
 
@@ -286,27 +286,36 @@ def _rect_lookup_gather(rect1_ref, rect2_ref, vl, ul, ok,
     through untouched (no plane split, no matmul). Invalid voxels (`ok`
     false) read 0 -> d_raw == 0 -> invalid, matching the XLA path.
 
+    BOTH packed tables live stacked in one [2*rect_h, rect_w] scratch
+    (depth+mask rows 0:rect_h, color rows rect_h:) and one gather serves
+    them together: the gather's cost is per-INVOCATION, not per-row
+    (measured: halving rect_h moved the 512^3 fuse only 9%, while
+    lookup=none removed 57 of 88 ms), so halving the call count halves
+    the dominant term.
+
     Replaces the one-hot-matmul lookup (kept as _rect_lookup_matmul): the
     matmul itself was cheap, but its [2048, rect_w*6] int32 output forced
-    ~10k post-matmul VPU vreg-ops per block; this form touches only
-    [rect_h, 128] tiles (~3k vreg-ops) — measured 93.6 -> see
-    PERFORMANCE.md."""
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, (rect_h, TILE_L), 0)
+    ~10k post-matmul VPU vreg-ops per block (measured 93.6 -> 22 ms at
+    256^3)."""
+    H2 = 2 * rect_h
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (H2, TILE_L), 0)
     rows1, rows2 = [], []
     for s in range(TILE_S):
-        ul_row = jnp.broadcast_to(ul[s:s + 1, :], (rect_h, TILE_L))
-        vl_row = jnp.broadcast_to(vl[s:s + 1, :], (rect_h, TILE_L))
-        ok_row = jnp.broadcast_to(ok[s:s + 1, :], (rect_h, TILE_L))
-        vmask = ((v_iota == vl_row) & ok_row).astype(jnp.float32)
+        ul_row = jnp.broadcast_to(ul[s:s + 1, :], (H2, TILE_L))
+        vl_row = jnp.broadcast_to(vl[s:s + 1, :], (H2, TILE_L))
+        ok_row = jnp.broadcast_to(ok[s:s + 1, :], (H2, TILE_L))
+        vmask = (((v_iota == vl_row) | (v_iota == vl_row + rect_h))
+                 & ok_row).astype(jnp.float32)
         acc1 = jnp.zeros((1, TILE_L), jnp.float32)
         acc2 = jnp.zeros((1, TILE_L), jnp.float32)
         for c in range(0, rect_w, TILE_L):
             idx = jnp.clip(ul_row - c, 0, TILE_L - 1)
             mc = vmask * (ul_row // TILE_L == c // TILE_L).astype(jnp.float32)
-            g1 = jnp.take_along_axis(rect1_ref[:, c:c + TILE_L], idx, axis=1)
-            g2 = jnp.take_along_axis(rect2_ref[:, c:c + TILE_L], idx, axis=1)
-            acc1 = acc1 + jnp.sum(g1 * mc, axis=0, keepdims=True)
-            acc2 = acc2 + jnp.sum(g2 * mc, axis=0, keepdims=True)
+            g12 = jnp.take_along_axis(rect12_ref[:, c:c + TILE_L], idx,
+                                      axis=1)
+            prod = g12 * mc
+            acc1 = acc1 + jnp.sum(prod[:rect_h], axis=0, keepdims=True)
+            acc2 = acc2 + jnp.sum(prod[rect_h:], axis=0, keepdims=True)
         rows1.append(acc1)
         rows2.append(acc2)
     return (jnp.concatenate(rows1, axis=0), jnp.concatenate(rows2, axis=0))
@@ -376,7 +385,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  diff_ref, colorpk_ref, wt_ref, hist_ref,   # VMEM in
                  diff_out, colorpk_out, wt_out, hist_out,   # VMEM out
                  miss_ref,     # SMEM out [1, 1] i32
-                 rect1, rect2, sems, hist_buf, hsem,  # scratch
+                 rect12, sems, hist_buf, hsem,  # scratch
                  *, K: int, H: int, W: int, nby: int, nbz: int,
                  rect_h: int, rect_w: int,
                  color_diff_gate: float, depth_scale: float,
@@ -427,10 +436,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
             pltpu.make_async_copy(
                 pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
-                rect1.at[g], sems.at[0, g]).start()
+                rect12.at[g, pl.ds(0, rect_h)], sems.at[0, g]).start()
             pltpu.make_async_copy(
                 pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
-                rect2.at[g], sems.at[1, g]).start()
+                rect12.at[g, pl.ds(rect_h, rect_h)], sems.at[1, g]).start()
             if hist_hbm:
                 pltpu.make_async_copy(hist_ref.at[blk], hist_buf.at[g],
                                       hsem.at[g]).start()
@@ -521,20 +530,25 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             b0a = pl.multiple_of(ob0, 128)
             pltpu.make_async_copy(pk1_hbm.at[pl.ds(a0a, rect_h),
                                              pl.ds(b0a, rect_w)],
-                                  rect1.at[g], sems.at[0, g]).wait()
+                                  rect12.at[g, pl.ds(0, rect_h)],
+                                  sems.at[0, g]).wait()
             pltpu.make_async_copy(pk2_hbm.at[pl.ds(a0a, rect_h),
                                              pl.ds(b0a, rect_w)],
-                                  rect2.at[g], sems.at[1, g]).wait()
+                                  rect12.at[g, pl.ds(rect_h, rect_h)],
+                                  sems.at[1, g]).wait()
 
             if lookup in ("gather", "gather_t"):
                 val1, val2 = _rect_lookup_gather(
-                    rect1.at[g], rect2.at[g], al, bl, ok, rect_h, rect_w)
+                    rect12.at[g], al, bl, ok, rect_h, rect_w)
             elif lookup == "none":  # ablation only: zero lookup (WRONG math)
-                val1 = jnp.zeros((TILE_S, TILE_L), jnp.float32) + rect1[g, 0, 0]
-                val2 = jnp.zeros((TILE_S, TILE_L), jnp.float32) + rect2[g, 0, 0]
+                val1 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
+                        + rect12[g, 0, 0])
+                val2 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
+                        + rect12[g, rect_h, 0])
             else:
                 val1, val2 = _rect_lookup_matmul(
-                    rect1[g], rect2[g], al, bl, ok, rh_i, rect_h, rect_w)
+                    rect12[g, :rect_h], rect12[g, rect_h:], al, bl, ok,
+                    rh_i, rect_h, rect_w)
             d_raw = jnp.mod(val1, 65536.0)             # uint16 depth, exact
             m_id = jnp.floor(val1 / 65536.0)           # mask id
             diff_m = d_raw / depth_scale - pz
@@ -721,8 +735,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((GROUP, rect_h, rect_w), jnp.float32),
-            pltpu.VMEM((GROUP, rect_h, rect_w), jnp.float32),
+            pltpu.VMEM((GROUP, 2 * rect_h, rect_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2, GROUP)),
             pltpu.VMEM((GROUP, HRK, TILE_L), b.hist.dtype),
             pltpu.SemaphoreType.DMA((GROUP,)),
@@ -802,8 +815,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G2, fr_h, fr_w), jnp.float32),
-            pltpu.VMEM((G2, fr_h, fr_w), jnp.float32),
+            pltpu.VMEM((G2, 2 * fr_h, fr_w), jnp.float32),
             pltpu.SemaphoreType.DMA((2, G2)),
             # unused in hist_hbm=False mode, positionally required
             pltpu.VMEM((G2, HRK, TILE_L), b.hist.dtype),
