@@ -72,7 +72,16 @@ class FusionConfig:
     # (96, 256) + near_block_budget 256 measured fastest at 256^3 with
     # zero misses (the rect scales the per-voxel lookup work; oversized
     # footprints route to the full-image pass B)
-    pallas_rect: tuple = (96, 256)
+    # pass-A rect window (v, u) for the "gather" lookup orientation. The
+    # per-block lookup cost is ~linear in rect_h, so this stays SMALL and
+    # blocks whose in-image footprint exceeds it escalate to the mid rect
+    # (pallas_rect_mid, compacted pass M) and then to a full-image pass B
+    # — instead of every block paying the worst case (was (96, 256)
+    # before the cascade; (64, 256) measured faster end to end)
+    pallas_rect: tuple = (64, 256)
+    # escalation tiers: mid-rect window and its compacted-block budget
+    pallas_rect_mid: tuple = (192, 384)
+    mid_block_budget: int = 2048
     # rect for the transposed "gather_t" lookup: (sublanes over u with
     # 8-alignment slack, lanes over v with 128 slack) — the u footprint
     # must fit rect_t[0] - 8, the v footprint 128

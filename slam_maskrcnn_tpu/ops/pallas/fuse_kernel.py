@@ -187,7 +187,7 @@ def _pack_frame(depth, color, mask):
 
 def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
                    rect_h=RECT_H, rect_w=RECT_W, img_h=None, img_w=None,
-                   transposed: bool = False):
+                   transposed: bool = False, rect_mid=None):
     """Rect origin (a0, b0) per block from the 8 projected corners (XLA,
     dense), where a is the DMA sublane dim (8-aligned starts) and b the
     lane dim (128-aligned starts). Normal orientation: (a, b) = (v, u)
@@ -237,42 +237,65 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     else:
         amin, amax, bmin, bmax = vmin, vmax, umin, umax
         img_a, img_b = img_h, img_w
-    # DMA slice starts must respect the (8, 128) tiling: align down. The
-    # lane alignment forces rect_w >= footprint + 128.
-    a0 = jnp.floor((amin - 2.0) / 8.0).astype(jnp.int32) * 8
-    b0 = jnp.floor((bmin - 2.0) / 128.0).astype(jnp.int32) * 128
-    # clamp bounds kept aligned so the aligned-ness survives the clip
-    a_hi = (max(H - rect_h, 0) // 8) * 8
-    b_hi = (max(W - rect_w, 0) // 128) * 128
-    a0 = jnp.clip(a0, 0, a_hi)
-    b0 = jnp.clip(b0, 0, b_hi)
-    a0 = jnp.where(jnp.isfinite(amin), a0, 0)
-    b0 = jnp.where(jnp.isfinite(bmin), b0, 0)
-    # visibility classes:
+
+    def rect_fit(rh, rw):
+        """(a0, b0, too_big) for a given rect window size.
+
+        DMA slice starts must respect the (8, 128) tiling: align down.
+        The lane alignment forces rw >= footprint + 128. Only the
+        IN-IMAGE part of the footprint must fit (off-image voxels never
+        fuse): the bbox is clamped to the image before the coverage
+        test. Clamp bounds stay aligned so aligned-ness survives."""
+        a0 = jnp.floor((amin - 2.0) / 8.0).astype(jnp.int32) * 8
+        b0 = jnp.floor((bmin - 2.0) / 128.0).astype(jnp.int32) * 128
+        a_hi = (max(H - rh, 0) // 8) * 8
+        b_hi = (max(W - rw, 0) // 128) * 128
+        a0 = jnp.clip(a0, 0, a_hi)
+        b0 = jnp.clip(b0, 0, b_hi)
+        a0 = jnp.where(jnp.isfinite(amin), a0, 0)
+        b0 = jnp.where(jnp.isfinite(bmin), b0, 0)
+        too_big = ((jnp.minimum(amax, img_a - 1.0)
+                    > (a0 + rh - 1).astype(jnp.float32))
+                   | (jnp.minimum(bmax, img_b - 1.0)
+                      > (b0 + rw - 1).astype(jnp.float32)))
+        return a0, b0, too_big
+
+    # visibility classes (a three-tier cascade — the per-block lookup
+    # cost is ~linear in rect_h, so pass A runs the smallest rect and
+    # outliers escalate):
     # * vis (pass A): all corners in front, projected bbox overlaps the
-    #   image, and the bbox FITS the rect window after alignment clamping.
-    # * flagged (pass B, full-image rect): blocks straddling the camera
-    #   plane (their projected bbox is unreliable — the hull of the front
-    #   corners does not bound interior voxel projections) and near-camera
-    #   blocks whose footprint exceeds the rect. Pass B's rect is the whole
-    #   image, so in-image voxels of flagged blocks always fuse exactly.
+    #   image, and the bbox FITS the pass-A rect after alignment clamps.
+    # * flag_mid (pass M, mid rect over a compacted subset): fits the
+    #   mid rect but not the pass-A rect.
+    # * flag_full (pass B, full-image rect): blocks straddling the
+    #   camera plane (their projected bbox is unreliable — the hull of
+    #   the front corners does not bound interior voxel projections) and
+    #   near-camera blocks exceeding the mid rect. Pass B's rect is the
+    #   whole image, so in-image voxels of flagged blocks always fuse
+    #   exactly.
+    a0, b0, too_big = rect_fit(rect_h, rect_w)
     partial_behind = any_front & ~all_front
     overlap = ((umax >= 0) & (umin <= img_w - 1)
                & (vmax >= 0) & (vmin <= img_h - 1))
-    # only the IN-IMAGE part of the footprint must fit (off-image voxels
-    # never fuse): clamp the bbox to the image before the coverage test
-    too_big = ((jnp.minimum(amax, img_a - 1.0)
-                > (a0 + rect_h - 1).astype(jnp.float32))
-               | (jnp.minimum(bmax, img_b - 1.0)
-                  > (b0 + rect_w - 1).astype(jnp.float32)))
     vis = all_front & overlap & ~too_big
-    flagged = any_front & (partial_behind | (overlap & too_big))
+    if rect_mid is not None:
+        am0, bm0, too_big_m = rect_fit(*rect_mid)
+        flag_mid = all_front & overlap & too_big & ~too_big_m
+        flag_full = any_front & (partial_behind
+                                 | (overlap & too_big & too_big_m))
+        origins_mid = jnp.stack(
+            [am0.reshape(-1), bm0.reshape(-1)], axis=-1).reshape(-1)
+    else:
+        flag_mid = jnp.zeros_like(vis)
+        flag_full = any_front & (partial_behind | (overlap & too_big))
+        origins_mid = None
     # flat [NB*3] (a0, b0, vis): a 2D SMEM operand would be lane-padded to
     # 128 wide and blow the 1MB SMEM budget
     origins = jnp.stack([a0.reshape(-1), b0.reshape(-1),
                          vis.reshape(-1).astype(jnp.int32)],
                         axis=-1).reshape(-1)
-    return origins, flagged.reshape(-1)
+    return (origins, flag_mid.reshape(-1), flag_full.reshape(-1),
+            origins_mid)
 
 
 def _rect_lookup_gather(rect12_ref, vl, ul, ok,
@@ -434,12 +457,14 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
         def _():
             v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
             u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
-            pltpu.make_async_copy(
-                pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
-                rect12.at[g, pl.ds(0, rect_h)], sems.at[0, g]).start()
-            pltpu.make_async_copy(
-                pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
-                rect12.at[g, pl.ds(rect_h, rect_h)], sems.at[1, g]).start()
+            if lookup != "gather_nodma":  # timing ablation: no rect DMAs
+                pltpu.make_async_copy(
+                    pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
+                    rect12.at[g, pl.ds(0, rect_h)], sems.at[0, g]).start()
+                pltpu.make_async_copy(
+                    pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
+                    rect12.at[g, pl.ds(rect_h, rect_h)],
+                    sems.at[1, g]).start()
             if hist_hbm:
                 pltpu.make_async_copy(hist_ref.at[blk], hist_buf.at[g],
                                       hsem.at[g]).start()
@@ -528,16 +553,17 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
             a0a = pl.multiple_of(oa0, 8)
             b0a = pl.multiple_of(ob0, 128)
-            pltpu.make_async_copy(pk1_hbm.at[pl.ds(a0a, rect_h),
-                                             pl.ds(b0a, rect_w)],
-                                  rect12.at[g, pl.ds(0, rect_h)],
-                                  sems.at[0, g]).wait()
-            pltpu.make_async_copy(pk2_hbm.at[pl.ds(a0a, rect_h),
-                                             pl.ds(b0a, rect_w)],
-                                  rect12.at[g, pl.ds(rect_h, rect_h)],
-                                  sems.at[1, g]).wait()
+            if lookup != "gather_nodma":
+                pltpu.make_async_copy(pk1_hbm.at[pl.ds(a0a, rect_h),
+                                                 pl.ds(b0a, rect_w)],
+                                      rect12.at[g, pl.ds(0, rect_h)],
+                                      sems.at[0, g]).wait()
+                pltpu.make_async_copy(pk2_hbm.at[pl.ds(a0a, rect_h),
+                                                 pl.ds(b0a, rect_w)],
+                                      rect12.at[g, pl.ds(rect_h, rect_h)],
+                                      sems.at[1, g]).wait()
 
-            if lookup in ("gather", "gather_t"):
+            if lookup in ("gather", "gather_t", "gather_nodma"):
                 val1, val2 = _rect_lookup_gather(
                     rect12.at[g], al, bl, ok, rect_h, rect_w)
             elif lookup == "none":  # ablation only: zero lookup (WRONG math)
@@ -667,6 +693,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     assert NB % GROUP == 0
 
     lookup = getattr(cfg, "pallas_lookup", "gather_t")
+    rect_mid = getattr(cfg, "pallas_rect_mid", (192, 384))
     pk1, pk2 = _pack_frame(depth, color, mask)
     if lookup == "gather_t":
         # transposed tables [W', H']: the 8-slack sublane alignment lands
@@ -676,9 +703,9 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         Wp = max((H + 127) // 128 * 128, rect_w)  # lane dim = v
         pk1 = jnp.pad(pk1.T, ((0, Hp - W), (0, Wp - H)))
         pk2 = jnp.pad(pk2.T, ((0, Hp - W), (0, Wp - H)))
-        origins, flagged = _block_origins(b, extrinsic2init, intrinsic,
-                                          Hp, Wp, rect_h, rect_w,
-                                          img_h=H, img_w=W, transposed=True)
+        origins, flag_mid, flag_full, origins_mid = _block_origins(
+            b, extrinsic2init, intrinsic, Hp, Wp, rect_h, rect_w,
+            img_h=H, img_w=W, transposed=True, rect_mid=rect_mid)
     else:
         rect_h, rect_w = getattr(cfg, "pallas_rect", (RECT_H, RECT_W))
         # pad the packed tables so a clamped rect DMA is always in bounds
@@ -686,8 +713,9 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         if (Hp, Wp) != (H, W):
             pk1 = jnp.pad(pk1, ((0, Hp - H), (0, Wp - W)))
             pk2 = jnp.pad(pk2, ((0, Hp - H), (0, Wp - W)))
-        origins, flagged = _block_origins(b, extrinsic2init, intrinsic,
-                                          Hp, Wp, rect_h, rect_w)
+        origins, flag_mid, flag_full, origins_mid = _block_origins(
+            b, extrinsic2init, intrinsic, Hp, Wp, rect_h, rect_w,
+            rect_mid=rect_mid)
 
     E = extrinsic2init.astype(jnp.float32)
     Km = intrinsic.astype(jnp.float32)
@@ -759,94 +787,115 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         interpret=interpret,
     )(origins, params, pk1, pk2, b.diff, b.colorpk, b.weight, b.hist)
 
-    # ---- pass B: flagged near/straddling blocks, full-image rect ----
-    # (see _block_origins) — a small compacted subset, so the per-block
-    # cost of DMAing the whole image is paid ~tens of times per frame
-    B2 = getattr(cfg, "near_block_budget", 128)
-    n_flagged = flagged.sum()
-    (ids,) = jnp.nonzero(flagged, size=B2, fill_value=NB)
-    valid = (ids < NB).astype(jnp.int32)
-    idc = jnp.minimum(ids, NB - 1)
-    bx = (idc // (b.nbz * b.nby)).astype(jnp.int32)
-    by = ((idc // b.nbz) % b.nby).astype(jnp.int32)
-    bz = (idc % b.nbz).astype(jnp.int32)
-    zeros = jnp.zeros_like(ids)
-    origins_b = jnp.stack([zeros, zeros, valid, bx, by, bz],
-                          axis=-1).reshape(-1)
-
-    G2 = 2
-    # full-image rect, padded to DMA-tileable dims
-    fr_h = (Hp + 7) // 8 * 8
-    fr_w = (Wp + 127) // 128 * 128
+    # ---- escalation passes over compacted subsets ----
+    # pass M: blocks whose footprint exceeds the pass-A rect but fits the
+    # mid rect (the per-block lookup cost is ~linear in rect_h, so pass A
+    # keeps the smallest rect and outliers escalate instead of everyone
+    # paying for the worst case). pass B: camera-plane straddlers and
+    # blocks beyond the mid rect get the whole image — their in-image
+    # voxels always fuse exactly.
+    fr_h = max((Hp + 7) // 8 * 8, rect_mid[0])
+    fr_w = max((Wp + 127) // 128 * 128, rect_mid[1])
     if (fr_h, fr_w) != (Hp, Wp):
         pk1 = jnp.pad(pk1, ((0, fr_h - Hp), (0, fr_w - Wp)))
         pk2 = jnp.pad(pk2, ((0, fr_h - Hp), (0, fr_w - Wp)))
-    kern_b = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
-                     rect_h=fr_h, rect_w=fr_w,
-                     color_diff_gate=cfg.color_diff_gate,
-                     depth_scale=cfg.depth_scale, group=G2, coords="smem",
-                     lookup=lookup)
-    HRK = BLOCK_VOX * K // TILE_L
-    grid_b = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B2 // G2,),
-        in_specs=[
-            pl.BlockSpec((32,), lambda i, o: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G2, HRK, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G2, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((G2, HRK, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((G2, 2 * fr_h, fr_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, G2)),
-            # unused in hist_hbm=False mode, positionally required
-            pltpu.VMEM((G2, HRK, TILE_L), b.hist.dtype),
-            pltpu.SemaphoreType.DMA((G2,)),
-        ],
-    )
-    db, cb, wb, hb = (new_diff[idc], new_cpk[idc], new_wt[idc],
-                      new_hist[idc])
-    db2, cb2, wb2, hb2, miss_b = pl.pallas_call(
-        kern_b,
-        grid_spec=grid_b,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        out_shape=[
-            jax.ShapeDtypeStruct(db.shape, jnp.float32),
-            jax.ShapeDtypeStruct(cb.shape, jnp.float32),
-            jax.ShapeDtypeStruct(wb.shape, jnp.int32),
-            jax.ShapeDtypeStruct(hb.shape, hb.dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
-        interpret=interpret,
-    )(origins_b, params, pk1, pk2, db, cb, wb, hb)
-    # out-of-bounds indices (padded slots carry ids == NB) are dropped
-    new_diff = new_diff.at[ids].set(db2)
-    new_cpk = new_cpk.at[ids].set(cb2)
-    new_wt = new_wt.at[ids].set(wb2)
-    new_hist = new_hist.at[ids].set(hb2)
-    # budget overflow: count the whole blocks we could not fuse
-    overflow = jnp.maximum(n_flagged - B2, 0) * BLOCK_VOX
+    HRK2 = BLOCK_VOX * K // TILE_L
+
+    def compacted_pass(state_arrays, flags, origs, rect, budget, grp):
+        """Gather `flags` blocks (up to `budget`), fuse them with a
+        `rect`-sized window at per-slot origins, scatter back. Returns
+        (updated arrays, misses, whole-block overflow count)."""
+        new_diff, new_cpk, new_wt, new_hist = state_arrays
+        rh, rw = rect
+        n_flag = flags.sum()
+        (ids,) = jnp.nonzero(flags, size=budget, fill_value=NB)
+        valid = (ids < NB).astype(jnp.int32)
+        idc = jnp.minimum(ids, NB - 1)
+        bx = (idc // (b.nbz * b.nby)).astype(jnp.int32)
+        by = ((idc // b.nbz) % b.nby).astype(jnp.int32)
+        bz = (idc % b.nbz).astype(jnp.int32)
+        if origs is None:
+            a0 = jnp.zeros_like(idc)
+            b0 = jnp.zeros_like(idc)
+        else:
+            o2 = origs.reshape(NB, 2)
+            a0, b0 = o2[idc, 0], o2[idc, 1]
+        origins_c = jnp.stack([a0, b0, valid, bx, by, bz],
+                              axis=-1).reshape(-1)
+        kern_c = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby,
+                         nbz=b.nbz, rect_h=rh, rect_w=rw,
+                         color_diff_gate=cfg.color_diff_gate,
+                         depth_scale=cfg.depth_scale, group=grp,
+                         coords="smem", lookup=lookup)
+        grid_c = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(budget // grp,),
+            in_specs=[
+                pl.BlockSpec((32,), lambda i, o: (0,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((grp, HRK2, TILE_L), lambda i, o: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((grp, HRK2, TILE_L), lambda i, o: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((grp, 2 * rh, rw), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, grp)),
+                # unused in hist_hbm=False mode, positionally required
+                pltpu.VMEM((grp, HRK2, TILE_L), b.hist.dtype),
+                pltpu.SemaphoreType.DMA((grp,)),
+            ],
+        )
+        da, ca, wa, ha = (new_diff[idc], new_cpk[idc], new_wt[idc],
+                          new_hist[idc])
+        d2, c2, w2, h2, miss_c = pl.pallas_call(
+            kern_c,
+            grid_spec=grid_c,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            out_shape=[
+                jax.ShapeDtypeStruct(da.shape, jnp.float32),
+                jax.ShapeDtypeStruct(ca.shape, jnp.float32),
+                jax.ShapeDtypeStruct(wa.shape, jnp.int32),
+                jax.ShapeDtypeStruct(ha.shape, ha.dtype),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+            interpret=interpret,
+        )(origins_c, params, pk1, pk2, da, ca, wa, ha)
+        # out-of-bounds indices (padded slots carry ids == NB) are dropped
+        return ((new_diff.at[ids].set(d2), new_cpk.at[ids].set(c2),
+                 new_wt.at[ids].set(w2), new_hist.at[ids].set(h2)),
+                miss_c[0, 0], jnp.maximum(n_flag - budget, 0))
+
+    arrays = (new_diff, new_cpk, new_wt, new_hist)
+    BM = getattr(cfg, "mid_block_budget", 2048)
+    arrays, miss_m, over_m = compacted_pass(
+        arrays, flag_mid, origins_mid, rect_mid, BM, 8)
+    B2 = getattr(cfg, "near_block_budget", 128)
+    arrays, miss_b, over_b = compacted_pass(
+        arrays, flag_full, None, (fr_h, fr_w), B2, 2)
+    new_diff, new_cpk, new_wt, new_hist = arrays
 
     new_state = b.replace(diff=new_diff, colorpk=new_cpk, weight=new_wt,
                           hist=new_hist, n_obs=b.n_obs + 1)
-    return new_state, miss[0, 0] + miss_b[0, 0] + overflow
+    # budget overflows count the whole blocks we could not fuse
+    return new_state, (miss[0, 0] + miss_m + miss_b
+                       + (over_m + over_b) * BLOCK_VOX)
