@@ -143,3 +143,23 @@ def test_pallas_nms_matches_reference():
         got = np.asarray(idx)[np.asarray(valid)]
         want = nms_ref(boxes, scores, 0.4, 20)
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_pallas_nms_sorted_matches_argmax_variant():
+    """The sort+tiled-scan kernel and the per-selection argmax kernel must
+    produce identical selections (both greedy by score)."""
+    from slam_maskrcnn_tpu.ops.pallas.nms_kernel import (
+        non_max_suppression_pallas)
+
+    rng = np.random.default_rng(11)
+    for n, cap in ((300, 40), (513, 100)):
+        boxes = _rand_boxes(rng, n)
+        scores = rng.uniform(size=n).astype(np.float32)
+        i1, v1 = non_max_suppression_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), cap, 0.5,
+            variant="sorted")
+        i2, v2 = non_max_suppression_pallas(
+            jnp.asarray(boxes), jnp.asarray(scores), cap, 0.5,
+            variant="argmax")
+        np.testing.assert_array_equal(np.asarray(i1)[np.asarray(v1)],
+                                      np.asarray(i2)[np.asarray(v2)])
