@@ -114,7 +114,10 @@ class COCOevalLite:
         gt_m = np.zeros((T, len(gts)))
         dt_m = np.zeros((T, len(dts)))
         dt_ig = np.zeros((T, len(dts)))
-        g_ig = np.array([g["_ignore"] for g in gts])
+        # explicit bool dtype: an empty list would default to float64 and
+        # `~` on floats raises (hit when an image has detections of a
+        # class with no ground truth of that class)
+        g_ig = np.array([g["_ignore"] for g in gts], dtype=bool)
         for t, thr in enumerate(self.iou_thrs):
             for di in range(len(dts)):
                 best = min(thr, 1 - 1e-10)

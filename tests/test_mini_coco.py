@@ -57,7 +57,13 @@ def test_mini_coco_degraded_predictions(tmp_path):
     def degraded(image_id):
         r = _perfect_result(ds, image_id, rng)
         keep = slice(0, max(1, len(r["class_ids"]) // 2))
-        return {"rois": r["rois"][keep], "class_ids": r["class_ids"][keep],
+        cls = r["class_ids"][keep].copy()
+        if image_id == 0:
+            # one wrong-class detection: exercises the (detections, no GT
+            # of that class) path in COCOevalLite (regression: an empty
+            # g_ig defaulted to float64 and ~ raised)
+            cls[0] = 1 + (cls[0] % 3)
+        return {"rois": r["rois"][keep], "class_ids": cls,
                 "scores": r["scores"][keep],
                 "masks": r["masks"][:, :, keep]}
 

@@ -94,7 +94,24 @@ def run_fusion(vol):
             np.stack(masks))
 
 
+TRAINED = "/root/repo/weights/shapes_r2_f16.h5"
+
+
 def build_model(seed=0):
+    """Prefer the committed TRAINED shapes checkpoint: parity on a model
+    that actually detects is meaningful; a random-init network is a
+    chaotic function of platform rounding and its garbage detections
+    barely match across CPU/TPU."""
+    if os.path.exists(TRAINED):
+        from slam_maskrcnn_tpu.models import MaskRCNN
+        from slam_maskrcnn_tpu.samples.train_shapes import (
+            InferenceShapesConfig)
+
+        model = MaskRCNN("inference", InferenceShapesConfig())
+        model.init_params(seed)
+        model.load_weights(TRAINED, by_name=True)
+        return model, True
+
     from slam_maskrcnn_tpu.models import Config, MaskRCNN
 
     class ParityConfig(Config):
@@ -113,28 +130,40 @@ def build_model(seed=0):
 
     model = MaskRCNN("inference", ParityConfig())
     model.init_params(seed)
-    return model
+    return model, False
 
 
 def run_detect(scratch):
-    """Detect 2 deterministic synthetic images. Params come from the CPU
-    process (written on first call) so both platforms run identical
-    weights."""
+    """Detect 2 deterministic images. With the trained checkpoint both
+    platforms load the same file; otherwise params round-trip through the
+    scratch dir so both processes run identical random weights."""
     from slam_maskrcnn_tpu.models.import_h5 import (load_h5_weights,
                                                     save_h5_weights)
 
-    model = build_model()
-    wpath = os.path.join(scratch, "parity_weights.h5")
-    if os.path.exists(wpath):
-        model.params = load_h5_weights(wpath, model.params)
+    model, trained = build_model()
+    if not trained:
+        wpath = os.path.join(scratch, "parity_weights.h5")
+        if os.path.exists(wpath):
+            model.params = load_h5_weights(wpath, model.params)
+        else:
+            save_h5_weights(wpath, model.params)
+    out = {"trained": np.array([trained])}
+    if trained:
+        from slam_maskrcnn_tpu.data.shapes import ShapesDataset
+
+        ds = ShapesDataset()
+        ds.load_shapes(2, 128, 128, seed=9)
+        ds.prepare()
+        images = [ds.load_image(i) for i in ds.image_ids]
     else:
-        save_h5_weights(wpath, model.params)
-    rng = np.random.RandomState(7)
-    out = {}
-    for i in range(2):
-        img = (rng.rand(256, 256, 3) * 255).astype(np.uint8)
-        img[60:120, 60:140] = (220, 40, 40)
-        img[150:220, 100:180] = (40, 220, 40)
+        rng = np.random.RandomState(7)
+        images = []
+        for i in range(2):
+            img = (rng.rand(256, 256, 3) * 255).astype(np.uint8)
+            img[60:120, 60:140] = (220, 40, 40)
+            img[150:220, 100:180] = (40, 220, 40)
+            images.append(img)
+    for i, img in enumerate(images):
         r = model.detect([img], verbose=0)[0]
         out[f"rois{i}"] = r["rois"].astype(np.float32)
         out[f"class_ids{i}"] = r["class_ids"].astype(np.int32)
@@ -229,6 +258,8 @@ def main():
                     "match_frac": matched / max(n_cpu, 1),
                     "score_mad": round(mad, 5)})
     report["detect"] = det
+    report["detect_trained_weights"] = bool(np.asarray(
+        tpu_d.get("trained", [False]))[0])
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
