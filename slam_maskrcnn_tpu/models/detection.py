@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from slam_maskrcnn_tpu.ops.boxes import apply_box_deltas, clip_boxes
 from slam_maskrcnn_tpu.ops.nms import nms_auto
+from slam_maskrcnn_tpu.ops.boxes import take_rows
 
 NEG_INF = -1e9
 
@@ -33,9 +34,13 @@ def refine_detections(rois: jax.Array, probs: jax.Array, deltas: jax.Array,
     (y1, x1, y2, x2, class_id, score), zero-padded, plus valid mask."""
     N = rois.shape[0]
     class_ids = jnp.argmax(probs, axis=1)
-    class_scores = jnp.take_along_axis(probs, class_ids[:, None], axis=1)[:, 0]
-    deltas_specific = jnp.take_along_axis(
-        deltas, class_ids[:, None, None].repeat(4, -1), axis=1)[:, 0]
+    # per-row class selects as dense one-hot contractions: take_along_axis
+    # over the C-wide axis lowers to scalar/slice gathers (~130 ns/row for
+    # scores, ~2.3 us/row for the [1, 1, 4] delta slices)
+    oh = (class_ids[:, None]
+          == jnp.arange(probs.shape[1])[None, :]).astype(probs.dtype)
+    class_scores = jnp.einsum("nc,nc->n", probs, oh)
+    deltas_specific = jnp.einsum("ncd,nc->nd", deltas, oh)
     refined = apply_box_deltas(rois, deltas_specific * jnp.asarray(bbox_std))
     refined = clip_boxes(refined, window)
 
@@ -55,7 +60,7 @@ def refine_detections(rois: jax.Array, probs: jax.Array, deltas: jax.Array,
     idx, valid = nms_auto(nms_boxes, nms_scores, max_instances,
                           nms_threshold, score_threshold=NEG_INF / 2)
 
-    det_boxes = refined[idx]
+    det_boxes = take_rows(refined, idx)
     det_ids = class_ids[idx].astype(jnp.float32)
     det_scores = class_scores[idx]
     detections = jnp.concatenate(

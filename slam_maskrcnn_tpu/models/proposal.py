@@ -13,7 +13,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from slam_maskrcnn_tpu.ops.boxes import apply_box_deltas, clip_boxes
+from slam_maskrcnn_tpu.ops.boxes import (apply_box_deltas, clip_boxes,
+                                         take_rows)
 from slam_maskrcnn_tpu.ops.nms import nms_auto
 
 
@@ -46,13 +47,16 @@ def generate_proposals(rpn_probs: jax.Array, rpn_bbox: jax.Array,
                                                   recall_target=0.95)
         else:
             top_scores, ix = jax.lax.top_k(scores, k)
-        top_deltas = deltas[ix] * std
-        top_anchors = anchors[ix]
+        # take_rows, not table[ix]: [N, 4] row indexing lowers to
+        # ~2.3 us/slice gathers — these three were ~12 ms of the detect
+        # device program (PERFORMANCE.md)
+        top_deltas = take_rows(deltas, ix) * std
+        top_anchors = take_rows(anchors, ix)
         boxes = apply_box_deltas(top_anchors, top_deltas)
         boxes = clip_boxes(boxes, jnp.array([0.0, 0.0, 1.0, 1.0]))
         idx, valid = nms_auto(boxes, top_scores, proposal_count,
                               nms_threshold)
-        props = jnp.where(valid[:, None], boxes[idx], 0.0)  # zero-pad
+        props = jnp.where(valid[:, None], take_rows(boxes, idx), 0.0)
         return props, valid
 
     return jax.vmap(per_image)(rpn_probs, rpn_bbox)

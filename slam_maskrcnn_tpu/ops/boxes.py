@@ -10,6 +10,16 @@ import jax
 import jax.numpy as jnp
 
 
+def take_rows(table: jax.Array, ix: jax.Array) -> jax.Array:
+    """``table[ix]`` for a [N, D] table with small D, in the fast gather
+    form: D separate 1-D gathers from the transposed table (~12-18
+    ns/index on TPU) instead of the [ix, 1, D]-slice gather XLA emits for
+    row indexing (~2.3 us/slice — measured 12 ms of the detect program
+    for the proposal layer's 2x6000 box-row gathers, PERFORMANCE.md)."""
+    t = table.T
+    return jnp.stack([t[d][ix] for d in range(table.shape[-1])], axis=-1)
+
+
 def compute_iou_matrix(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
     """Pairwise IoU [N, M]. = ``utils.compute_overlaps`` (utils.py:79-95)."""
     y1 = jnp.maximum(boxes1[:, None, 0], boxes2[None, :, 0])
