@@ -268,7 +268,7 @@ def main():
         # footprints halve, so the rect cascade tightens one notch
         # (sweep: PERFORMANCE.md — (48,256)/(128,384) = 10.0 fps misses 0)
         fps512, miss512, percall512, pack = bench_fusion(
-            512, 8, splat_max_blocks=8192, splat_max_surface=1024 * 1024,
+            512, 12, splat_max_blocks=8192, splat_max_surface=1024 * 1024,
             splat_max_rows=49152, near_block_budget=512,
             pallas_rect=(48, 256), pallas_rect_mid=(128, 384))
         extra["fused_fps_512"] = round(fps512, 3)
