@@ -91,18 +91,20 @@ def pinhole_of_orbit(angle, dist, intrinsic):
 
 def splat_zbuffer(b, M, m4, H, W, max_blocks: int = 4096,
                   max_surface: int = 512 * 1024, max_rows: int = 8192,
-                  shell_band: float = 0.999, row_cap: int = 0):
+                  shell_band: float = 0.999, row_cap: int = 0,
+                  fill: bool = False):
     """Core splat (see _splat_zbuffer_arrays). Convenience pytree entry."""
     return _splat_zbuffer_arrays(b.diff, b.vol_start, b.voxel, M, m4,
                                  H, W, b.nby, b.nbz, max_blocks,
-                                 max_surface, max_rows, shell_band, row_cap)
+                                 max_surface, max_rows, shell_band, row_cap,
+                                 fill)
 
 
 def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
                           nby: int, nbz: int, max_blocks: int = 4096,
                           max_surface: int = 512 * 1024,
                           max_rows: int = 8192, shell_band: float = 0.999,
-                          row_cap: int = 0):
+                          row_cap: int = 0, fill: bool = False):
     """Core splat: returns (zbuf [H*W] f32, winner voxel id [H*W] i32 with
     -1 for empty, overflow). Voxel id = blk * 2048 + s * 128 + l, indexing
     the flat voxel-major views of the blocked arrays. `overflow` counts
@@ -245,11 +247,27 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     key = jnp.where(sel_ok, (zq << idx_bits) | idx32, jnp.int32(2 ** 31 - 1))
     kbuf = jnp.full((H * W + 1,), jnp.int32(2 ** 31 - 1), jnp.int32)
     kbuf = kbuf.at[pix_s].min(key)
-    have = kbuf[:-1] != 2 ** 31 - 1
-    widx = jnp.minimum(kbuf[:-1] & (2 ** idx_bits - 1), n_surface - 1)
+    kb = kbuf[:-1]
+    if fill:
+        # hole fill in KEY space before decoding: empty pixels take the
+        # min neighbor key, whose z-major packing makes min == nearest-z
+        # neighbor — one i32 array through the 8 shifted minimums instead
+        # of the (zbuf, vid) pair _fill_holes moves (half the traffic)
+        kb2 = kb.reshape(H, W)
+        empty = kb2 == 2 ** 31 - 1
+        best = jnp.full_like(kb2, 2 ** 31 - 1)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                best = jnp.minimum(best, jnp.roll(kb2, (dy, dx),
+                                                  axis=(0, 1)))
+        kb = jnp.where(empty, best, kb2).reshape(-1)
+    have = kb != 2 ** 31 - 1
+    widx = jnp.minimum(kb & (2 ** idx_bits - 1), n_surface - 1)
     vid = jnp.where(have, code_s[widx], -1)
     zbuf = jnp.where(have,
-                     (kbuf[:-1] >> idx_bits).astype(jnp.float32) / z_scale,
+                     (kb >> idx_bits).astype(jnp.float32) / z_scale,
                      BIG)
     return zbuf, vid, overflow
 
@@ -309,10 +327,8 @@ def _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
     zbuf, vid, _ = _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4,
                                          H, W, nby, nbz, max_blocks,
                                          max_surface, max_rows, shell_band,
-                                         row_cap)
+                                         row_cap, fill)  # key-space fill
     zb2, vd2 = (zbuf.reshape(H, W), vid.reshape(H, W))
-    if fill:
-        zb2, vd2 = _fill_holes(zb2, vd2)
     have = vd2 >= 0
     vsafe = jnp.maximum(vd2, 0)
     if mode == "color":
@@ -358,8 +374,8 @@ def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
         b, M, m4, H, W, cfg.splat_max_blocks, cfg.splat_max_surface,
         getattr(cfg, "splat_max_rows", 8192),
         getattr(cfg, "splat_shell_band", 0.999),
-        getattr(cfg, "splat_row_cap", 0))
-    zb2, vd2 = _fill_holes(zbuf.reshape(H, W), vid.reshape(H, W))
+        getattr(cfg, "splat_row_cap", 0), fill=True)  # key-space fill
+    vd2 = vid.reshape(H, W)
     have = vd2 >= 0
     vsafe = jnp.maximum(vd2, 0)
     K = b.hist.shape[1] * 128 // 2048
