@@ -141,6 +141,20 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     # Two-level compaction (nonzero cost scales with its INPUT — the
     # bincount scatter-add, ~12-18 ns/elem): blocks first ([NB] via a
     # lane-merged [NB, 2048] reduce), then rows within active blocks.
+    rows = _compact_shell(diff, vol_start, voxel, nby, nbz, max_blocks,
+                          max_rows, shell_band)
+    return _splat_from_rows(rows, M, m4, H, W, max_blocks, max_rows,
+                            max_surface, row_cap, fill)
+
+
+def _compact_shell(diff, vol_start, voxel, nby: int, nbz: int,
+                   max_blocks: int, max_rows: int, shell_band: float):
+    """State-side half of the splat: compact the surface shell to
+    [max_rows, 128] rows and compute their world positions. Camera-free —
+    the orbit viewer computes this ONCE per fused state and renders many
+    frames from it (the reference fuses, then orbits forever,
+    kernel.cpp:101-107)."""
+    NB, S, L = diff.shape
     shell3 = (diff < 0.0) & (diff > -shell_band)
     act = shell3.reshape(NB, S * L).any(axis=1)          # wide reduce -> 1-D
     n_act = act.sum()
@@ -179,6 +193,21 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     px = vol_start[0] + gx * voxel[0]
     py = vol_start[1] + gy * voxel[1]
     pz = vol_start[2] + gz * voxel[2]
+    code_r = (blk[:, None] * (S * L) + vlin).astype(jnp.int32)
+    n_rows = row_any.sum()
+    return dict(px=px, py=py, pz=pz, shell_r=shell_r, code_r=code_r,
+                n_act=n_act, n_rows=n_rows)
+
+
+def _splat_from_rows(rows, M, m4, H, W, max_blocks: int, max_rows: int,
+                     max_surface: int, row_cap: int, fill: bool):
+    """Camera-side half of the splat: project the compacted shell rows,
+    level-2 compact, packed-key scatter, optional key-space hole fill,
+    decode. See _splat_zbuffer_arrays for the contract."""
+    px, py, pz = rows["px"], rows["py"], rows["pz"]
+    shell_r, code_r = rows["shell_r"], rows["code_r"]
+    n_act, n_rows = rows["n_act"], rows["n_rows"]
+    L = px.shape[1]
 
     sx = M[0, 0] * px + M[0, 1] * py + M[0, 2] * pz + m4[0]
     sy = M[1, 0] * px + M[1, 1] * py + M[1, 2] * pz + m4[1]
@@ -189,7 +218,6 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
     vis_r = shell_r & (sz > 1e-6) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
     pix_r = jnp.where(vis_r, v * W + u, H * W)
     z_r = jnp.where(vis_r, sz, BIG)
-    code_r = (blk[:, None] * (S * L) + vlin).astype(jnp.int32)
 
     # level-2 compaction, two forms:
     # * row_cap == 0 (exact, default): flat jnp.nonzero over
@@ -225,8 +253,7 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
         cap_clipped = jnp.maximum(vis_r.sum() - max_surface, 0)
     n_surface = z_s.size
 
-    n_rows = row_any.sum()
-    overflow = (jnp.maximum(n_act - max_blocks, 0) * (S * L)
+    overflow = (jnp.maximum(n_act - max_blocks, 0) * (16 * L)
                 + jnp.maximum(n_rows - max_rows, 0) * L
                 + cap_clipped)
 
@@ -328,7 +355,14 @@ def _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
                                          H, W, nby, nbz, max_blocks,
                                          max_surface, max_rows, shell_band,
                                          row_cap, fill)  # key-space fill
-    zb2, vd2 = (zbuf.reshape(H, W), vid.reshape(H, W))
+    return _shade(zbuf.reshape(H, W), vid.reshape(H, W), colorpk, hist,
+                  mode)
+
+
+def _shade(zb2, vd2, colorpk, hist, mode: str):
+    """Shade a decoded (z, winner-voxel) image pair: volume color or
+    instance-argmax palette (viewer.cu:26-85 semantics)."""
+    H, W = vd2.shape
     have = vd2 >= 0
     vsafe = jnp.maximum(vd2, 0)
     if mode == "color":
@@ -442,3 +476,59 @@ def splat_probe(b, extrinsic2init, intrinsic, H, W, cfg, max_blocks=None):
     """See _splat_probe_jit (same fastpath-bug wrapper as splat_render)."""
     return _splat_probe_jit(b, extrinsic2init, intrinsic, H, W, cfg,
                             max_blocks=max_blocks)
+
+
+@partial(jax.jit, static_argnames=("max_blocks", "max_rows", "shell_band",
+                                   "nby", "nbz"))
+def _precompute_shell_jit(diff, vol_start, voxel, nby: int, nbz: int,
+                          max_blocks: int, max_rows: int,
+                          shell_band: float):
+    return _compact_shell(diff, vol_start, voxel, nby, nbz, max_blocks,
+                          max_rows, shell_band)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "mode", "max_blocks",
+                                   "max_surface", "max_rows", "row_cap"))
+def _orbit_from_rows_jit(rows, colorpk, hist, angle, dist, intrinsic,
+                         H: int, W: int, mode: str, max_blocks: int,
+                         max_surface: int, max_rows: int, row_cap: int):
+    M, m4 = pinhole_of_orbit(angle, dist, intrinsic)
+    zbuf, vid, _ = _splat_from_rows(rows, M, m4, H, W, max_blocks,
+                                    max_rows, max_surface, row_cap,
+                                    fill=True)
+    return _shade(zbuf.reshape(H, W), vid.reshape(H, W), colorpk, hist,
+                  mode)
+
+
+class OrbitRenderer:
+    """Viewer-loop fast path. The reference fuses, then orbits the STATIC
+    volume forever (``kernel.cpp:101-107``) — so the splat's state-side
+    shell compaction (block/row nonzeros, row gathers, world positions)
+    is computed ONCE here and every orbit frame pays only projection ->
+    sort -> scatter -> shade.
+
+    Usage::
+
+        orb = OrbitRenderer(state, intrinsic, H, W, cfg)
+        for k in range(n):
+            img = orb.render(0.01 * k, dist)
+    """
+
+    def __init__(self, b, intrinsic, H: int, W: int, cfg,
+                 mode: str = "instance"):
+        self.H, self.W, self.mode, self.cfg = H, W, mode, cfg
+        self.colorpk, self.hist = b.colorpk, b.hist
+        self.intrinsic = jnp.asarray(intrinsic, jnp.float32)
+        self.rows = _precompute_shell_jit(
+            b.diff, b.vol_start, b.voxel, b.nby, b.nbz,
+            cfg.splat_max_blocks, getattr(cfg, "splat_max_rows", 8192),
+            getattr(cfg, "splat_shell_band", 0.999))
+
+    def render(self, angle, dist, mode: str | None = None):
+        return _orbit_from_rows_jit(
+            self.rows, self.colorpk, self.hist,
+            jnp.asarray(angle, jnp.float32), jnp.asarray(dist, jnp.float32),
+            self.intrinsic, self.H, self.W, mode or self.mode,
+            self.cfg.splat_max_blocks, self.cfg.splat_max_surface,
+            getattr(self.cfg, "splat_max_rows", 8192),
+            getattr(self.cfg, "splat_row_cap", 0))

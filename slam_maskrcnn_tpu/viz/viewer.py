@@ -35,10 +35,16 @@ class Viewer:
         cfg = self.cfg or FusionConfig()
         from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import BlockedTSDFState
         if isinstance(state, BlockedTSDFState):
-            from slam_maskrcnn_tpu.fusion.splat import splat_render_orbit
-            return np.asarray(splat_render_orbit(
-                state, angle, dist, jnp.asarray(self.intrinsic),
-                self.height, self.width, cfg, mode=mode))
+            # orbit loops render a STATIC fused volume (kernel.cpp:101-107)
+            # — cache the splat's state-side shell compaction and reuse it
+            # while the state object is unchanged (identity check: fusion
+            # steps always produce fresh arrays)
+            from slam_maskrcnn_tpu.fusion.splat import OrbitRenderer
+            if getattr(self, "_orbit_for", None) is not state.diff:
+                self._orbit = OrbitRenderer(state, self.intrinsic,
+                                            self.height, self.width, cfg)
+                self._orbit_for = state.diff
+            return np.asarray(self._orbit.render(angle, dist, mode=mode))
         from slam_maskrcnn_tpu.fusion.raycast import render_orbit
         return np.asarray(render_orbit(state, angle, dist,
                                        jnp.asarray(self.intrinsic_inv),

@@ -127,3 +127,21 @@ def test_splat_row_cap_mode_matches_exact():
     near = np.abs(np.asarray(z0)[~e0] - np.asarray(z1)[~e1])
     assert near.max() < 2e-3  # one z quantum at the default budgets
     assert ((np.asarray(v0) >= 0) == (np.asarray(v1) >= 0)).all()
+
+
+def test_orbit_renderer_matches_uncached():
+    """The viewer-loop OrbitRenderer (shell compaction cached across
+    frames) must render identically to the per-call orbit splat."""
+    from slam_maskrcnn_tpu.fusion.splat import (OrbitRenderer,
+                                                splat_render_orbit)
+
+    state = _sphere_state()
+    b = to_blocked(state, CFG)
+    orb = OrbitRenderer(b, K4, H, W, CFG)
+    for k, mode in ((1, "instance"), (3, "color")):
+        angle = 0.05 * k
+        want = np.asarray(splat_render_orbit(b, angle, 1.5,
+                                             jnp.asarray(K4), H, W, CFG,
+                                             mode=mode))
+        got = np.asarray(orb.render(angle, 1.5, mode=mode))
+        np.testing.assert_array_equal(got, want)
