@@ -126,9 +126,20 @@ class COCO:
             raise ValueError("results reference unknown image ids")
         res.dataset["categories"] = copy.deepcopy(
             self.dataset.get("categories", []))
+        # area/bbox are recomputed UNCONDITIONALLY (pycocotools
+        # coco.py:318-342 contract): results carrying stale area fields
+        # must not bucket into different area ranges than upstream would.
+        # Branch order matches upstream: a bbox result gets area = w*h even
+        # when it also carries a segmentation.
         for i, a in enumerate(anns):
             a["id"] = i + 1
-            if "segmentation" in a and "bbox" not in a:
+            if "bbox" in a and a["bbox"] != []:
+                x, y, w, h = a["bbox"]
+                a["area"] = float(w * h)
+                if "segmentation" not in a:
+                    a["segmentation"] = [[x, y, x, y + h, x + w, y + h,
+                                          x + w, y]]
+            elif "segmentation" in a:
                 m = _seg_mask(a["segmentation"])
                 ys, xs = np.nonzero(m)
                 if ys.size:
@@ -137,13 +148,7 @@ class COCO:
                                  float(ys.max() - ys.min() + 1)]
                 else:
                     a["bbox"] = [0.0, 0.0, 0.0, 0.0]
-                a.setdefault("area", float(m.sum()))
-            elif "bbox" in a:
-                x, y, w, h = a["bbox"]
-                a.setdefault("area", float(w * h))
-                if "segmentation" not in a:
-                    a["segmentation"] = [[x, y, x, y + h, x + w, y + h,
-                                          x + w, y]]
+                a["area"] = float(m.sum())
             a.setdefault("iscrowd", 0)
         res.dataset["annotations"] = anns
         res.createIndex()

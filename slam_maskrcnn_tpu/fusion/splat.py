@@ -195,8 +195,12 @@ def _compact_shell(diff, vol_start, voxel, nby: int, nbz: int,
     pz = vol_start[2] + gz * voxel[2]
     code_r = (blk[:, None] * (S * L) + vlin).astype(jnp.int32)
     n_rows = row_any.sum()
+    # block-budget overflow in VOXELS, using the true tile shape (S, L)
+    # rather than a hardcoded 16*L — the safety channel and tests depend
+    # on this count staying exact under tile-shape changes
+    over_blocks = jnp.maximum(n_act - max_blocks, 0) * (S * L)
     return dict(px=px, py=py, pz=pz, shell_r=shell_r, code_r=code_r,
-                n_act=n_act, n_rows=n_rows)
+                over_blocks=over_blocks, n_rows=n_rows)
 
 
 def _splat_from_rows(rows, M, m4, H, W, max_blocks: int, max_rows: int,
@@ -206,7 +210,7 @@ def _splat_from_rows(rows, M, m4, H, W, max_blocks: int, max_rows: int,
     decode. See _splat_zbuffer_arrays for the contract."""
     px, py, pz = rows["px"], rows["py"], rows["pz"]
     shell_r, code_r = rows["shell_r"], rows["code_r"]
-    n_act, n_rows = rows["n_act"], rows["n_rows"]
+    over_blocks, n_rows = rows["over_blocks"], rows["n_rows"]
     L = px.shape[1]
 
     sx = M[0, 0] * px + M[0, 1] * py + M[0, 2] * pz + m4[0]
@@ -253,22 +257,27 @@ def _splat_from_rows(rows, M, m4, H, W, max_blocks: int, max_rows: int,
         cap_clipped = jnp.maximum(vis_r.sum() - max_surface, 0)
     n_surface = z_s.size
 
-    overflow = (jnp.maximum(n_act - max_blocks, 0) * (16 * L)
+    overflow = (over_blocks
                 + jnp.maximum(n_rows - max_rows, 0) * L
                 + cap_clipped)
 
     # ONE scatter-min of a packed key resolves depth AND winner: key =
     # quantized-z << idx_bits | compact-surface index. The old
     # zbuf-scatter + z_at-gather + winner-scatter triple cost ~50% more;
-    # z quantization (sub-mm over a ~6 m range at the default budgets)
-    # only reorders voxels within one quantum — invisible to shading and
-    # association. zbuf is returned dequantized (it only feeds emptiness
+    # z quantization only reorders voxels within one quantum — invisible
+    # to shading and association. The quantization range adapts to the
+    # ACTUAL visible camera-space depth (a fixed range would collapse all
+    # content beyond it into the top quantum, corrupting the winner for
+    # far surfaces); at default budgets idx_bits is 18-20, so z gets
+    # 11-13 bits = a quantum of zmax/2048..zmax/8192 (~1-4 mm at indoor
+    # ranges). zbuf is returned dequantized (it only feeds emptiness
     # tests and hole-fill ordering).
     idx_bits = max(int(n_surface - 1).bit_length(), 1)
     z_bits = 31 - idx_bits
     assert z_bits >= 8, f"surface size {n_surface} leaves {z_bits} z bits"
     z_levels = float(2 ** z_bits)
-    z_scale = z_levels / 8.0            # quantize over [0, 8) meters-ish
+    zmax = jnp.max(jnp.where(z_s < BIG / 2, z_s, 0.0))
+    z_scale = (z_levels - 1.0) / jnp.maximum(zmax, 1e-3)
     zq = jnp.clip(z_s * z_scale, 0.0, z_levels - 1.0).astype(jnp.int32)
     idx32 = jax.lax.broadcasted_iota(jnp.int32, (n_surface,), 0)
     key = jnp.where(sel_ok, (zq << idx_bits) | idx32, jnp.int32(2 ** 31 - 1))

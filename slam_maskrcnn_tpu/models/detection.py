@@ -37,10 +37,13 @@ def refine_detections(rois: jax.Array, probs: jax.Array, deltas: jax.Array,
     # per-row class selects as dense one-hot contractions: take_along_axis
     # over the C-wide axis lowers to scalar/slice gathers (~130 ns/row for
     # scores, ~2.3 us/row for the [1, 1, 4] delta slices)
+    # elementwise one-hot select (NOT einsum: dot_general at default
+    # precision truncates f32 to bf16 on TPU — ~0.2% rounding that can flip
+    # borderline DETECTION_MIN_CONFIDENCE comparisons and NMS order)
     oh = (class_ids[:, None]
           == jnp.arange(probs.shape[1])[None, :]).astype(probs.dtype)
-    class_scores = jnp.einsum("nc,nc->n", probs, oh)
-    deltas_specific = jnp.einsum("ncd,nc->nd", deltas, oh)
+    class_scores = jnp.sum(probs * oh, axis=1)
+    deltas_specific = jnp.sum(deltas * oh[:, :, None], axis=1)
     refined = apply_box_deltas(rois, deltas_specific * jnp.asarray(bbox_std))
     refined = clip_boxes(refined, window)
 
