@@ -157,6 +157,73 @@ def bench_detect(n=8):
     return (time.time() - t0) / n * 1000.0, (model, variables)
 
 
+def bench_north_star(model_pack, n_frames=12, H=480, W=640):
+    """THE north-star row (BASELINE.md:30-33): Mask R-CNN inference +
+    512^3 TSDF integration + splat raycast, composed as ONE device
+    program per frame with the render inside the loop
+    (samples/north_star.py; the reference's fuse-then-view driver,
+    src/SfM_CUDA/kernel.cpp:64-107). Frames pre-staged on device, one
+    readback per chunk; renders stay device-resident (the reference
+    imshow's them — a locally-attached chip moves a 0.9 MB frame in
+    <1 ms, this relay does not). Returns (chunked fps, per-call fps,
+    misses)."""
+    import jax
+    import jax.numpy as jnp
+
+    from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
+    from slam_maskrcnn_tpu.fusion import FusionConfig
+    from slam_maskrcnn_tpu.fusion.state import make_intrinsic
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+        init_blocked_from_first_frame)
+    from slam_maskrcnn_tpu.samples.north_star import NorthStar
+
+    model, variables = model_pack
+    model.params = variables
+    K4 = make_intrinsic(520.9, 521.0, 325.1, 249.7)
+    cfg = FusionConfig(vol_dim=(512,) * 3, hist_dtype=jnp.uint16,
+                       splat_max_blocks=8192,
+                       splat_max_surface=1024 * 1024,
+                       splat_max_rows=49152, near_block_budget=512,
+                       pallas_rect=(48, 256), pallas_rect_mid=(128, 384))
+    frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
+    state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
+                                          frames[0]["mean_depth"])
+    dist = float(frames[0]["mean_depth"])
+    E0i = np.linalg.inv(frames[0]["extrinsic"]).astype(np.float32)
+    staged = [(jnp.asarray(fr["depth"]), jnp.asarray(fr["color"]),
+               jnp.asarray((fr["extrinsic"] @ E0i).astype(np.float32)))
+              for fr in frames[1:]]
+    ns = NorthStar(model, K4, cfg, H, W)
+
+    # per-call path (warm both cond branches first)
+    state, render, _m, miss = ns.step(state, *staged[0], 0.01, dist)
+    state, render, _m, miss = ns.step(state, *staged[1], 0.02, dist)
+    _ = float(jnp.sum(state.weight))
+    t0 = time.time()
+    for i in range(n_frames):
+        state, render, _m, miss = ns.step(state, *staged[i % 3],
+                                          0.01 * i, dist)
+    chk = float(jnp.sum(state.weight)) + int(np.asarray(render)[0, 0, 0])
+    percall_fps = n_frames / (time.time() - t0)
+
+    depths = jnp.stack([staged[i % 3][0] for i in range(n_frames)])
+    colors = jnp.stack([staged[i % 3][1] for i in range(n_frames)])
+    es = jnp.stack([staged[i % 3][2] for i in range(n_frames)])
+    angles = jnp.asarray(np.arange(n_frames, dtype=np.float32) * 0.01)
+    state, renders, masks_g, misses = ns.run_chunk(state, depths, colors,
+                                                   es, angles, dist)
+    _ = float(jnp.sum(state.weight))
+    best_dt = float("inf")
+    for _i in range(3):
+        t0 = time.time()
+        state, renders, masks_g, misses = ns.run_chunk(
+            state, depths, colors, es, angles, dist)
+        chk = (float(jnp.sum(state.weight)) + float(jnp.sum(renders))
+               + float(jnp.sum(masks_g)))
+        best_dt = min(best_dt, time.time() - t0)
+    return (n_frames / best_dt, percall_fps, int(jnp.sum(misses)))
+
+
 def bench_e2e(model_pack, n_frames=16, H=480, W=640):
     """LivePipeline.run_device: the double-buffered device-resident
     streaming pipeline (SURVEY §7.8) — uploads one frame ahead on a host
@@ -299,13 +366,48 @@ def main():
     except Exception:
         traceback.print_exc()
 
-    print(json.dumps({
-        "metric": "tsdf_fused_frames_per_sec_256c",
-        "value": round(fps256, 3),
-        "unit": "frames/sec",
-        "vs_baseline": round(fps256 / 30.0, 4),
-        **extra,
-    }))
+    _stage("north star: detect + fuse(512^3) + render")
+    ns_fps = None
+    try:
+        if model_pack is not None:
+            ns_fps, ns_percall, ns_miss = bench_north_star(model_pack)
+            extra["north_star_percall_fps"] = round(ns_percall, 2)
+            extra["north_star_misses"] = ns_miss
+            # stage table (ms/frame at the north-star configuration):
+            # detect from the chained detect row, the 512^3 fusion step
+            # from its chunked row, render = the remainder (the in-loop
+            # render shares the probe's shell compaction)
+            if "fused_fps_512" in extra:
+                fuse_ms = 1000.0 / extra["fused_fps_512"]
+                extra["ns_stage_ms"] = {
+                    "detect": extra.get("detect_ms"),
+                    "fuse_512": round(fuse_ms, 1),
+                    "render_rest": round(
+                        1000.0 / ns_fps - fuse_ms
+                        - (extra.get("detect_ms") or 0.0), 1),
+                }
+    except Exception:
+        traceback.print_exc()
+
+    if ns_fps is not None:
+        # the TRUE north-star metric (BASELINE.md:30-33): detect + 512^3
+        # integration + raycast in one loop, vs the 30 fps target
+        extra["fused_fps_256"] = round(fps256, 3)
+        print(json.dumps({
+            "metric": "north_star_fps_detect_fuse512_render",
+            "value": round(ns_fps, 3),
+            "unit": "frames/sec",
+            "vs_baseline": round(ns_fps / 30.0, 4),
+            **extra,
+        }))
+    else:
+        print(json.dumps({
+            "metric": "tsdf_fused_frames_per_sec_256c",
+            "value": round(fps256, 3),
+            "unit": "frames/sec",
+            "vs_baseline": round(fps256 / 30.0, 4),
+            **extra,
+        }))
 
 
 if __name__ == "__main__":

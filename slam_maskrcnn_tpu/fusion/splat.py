@@ -402,6 +402,34 @@ def _shade(zb2, vd2, colorpk, hist, mode: str):
     return img.astype(jnp.uint8)
 
 
+def _probe_decode(vid, hist, H: int, W: int, thresh: float):
+    """Winner-voxel image -> (probs [H, W, K] raw counts, box_mask): the
+    histogram fetch + threshold shared by every probe entry point."""
+    vd2 = vid.reshape(H, W)
+    have = vd2 >= 0
+    vsafe = jnp.maximum(vd2, 0)
+    K = hist.shape[1] * 128 // 2048
+    rows = _gather_hist_rows(hist, vsafe, K).astype(jnp.float32)
+    probs = jnp.where(have[..., None], rows, 0.0)
+    box_mask = probs > thresh
+    return probs, box_mask
+
+
+def probe_from_rows(rows, hist, extrinsic2init, intrinsic, H: int, W: int,
+                    cfg: FusionConfig):
+    """Back-projection probe from a PRECOMPUTED compacted shell (see
+    _compact_shell): the north-star streaming step computes the camera-free
+    shell once per frame and shares it between this probe and the in-loop
+    render. Returns (probs, box_mask, overflow)."""
+    M, m4 = pinhole_of_extrinsic(extrinsic2init, intrinsic)
+    zbuf, vid, overflow = _splat_from_rows(
+        rows, M, m4, H, W, cfg.splat_max_blocks,
+        getattr(cfg, "splat_max_rows", 8192), cfg.splat_max_surface,
+        getattr(cfg, "splat_row_cap", 0), fill=True)
+    probs, box_mask = _probe_decode(vid, hist, H, W, cfg.box_mask_thresh)
+    return probs, box_mask, overflow
+
+
 @partial(jax.jit, static_argnames=("cfg", "H", "W", "max_blocks"))
 def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
                      cfg: FusionConfig, max_blocks: int = 4096):
@@ -418,13 +446,7 @@ def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
         getattr(cfg, "splat_max_rows", 8192),
         getattr(cfg, "splat_shell_band", 0.999),
         getattr(cfg, "splat_row_cap", 0), fill=True)  # key-space fill
-    vd2 = vid.reshape(H, W)
-    have = vd2 >= 0
-    vsafe = jnp.maximum(vd2, 0)
-    K = b.hist.shape[1] * 128 // 2048
-    rows = _gather_hist_rows(b.hist, vsafe, K).astype(jnp.float32)
-    probs = jnp.where(have[..., None], rows, 0.0)
-    box_mask = probs > cfg.box_mask_thresh
+    probs, box_mask = _probe_decode(vid, b.hist, H, W, cfg.box_mask_thresh)
     return probs, box_mask, overflow
 
 

@@ -1,0 +1,186 @@
+"""The north-star configuration as ONE device program per frame:
+
+    detect (Mask R-CNN 1024^2) -> device label-encode -> 512^3 blocked
+    Pallas fuse (probe + associate + relabel + fuse) -> splat render
+
+BASELINE.md's headline target is this exact composition at >= 30 fps on
+one v5e chip — the reference driver's fuse-then-view process
+(``src/SfM_CUDA/kernel.cpp:64-107``: imread/mask -> ``parse_frame`` ->
+``Viewer::show_tsdf``), with the two offline stages joined live and the
+render inside the loop (the reference renders after fusing; a live system
+renders per frame).
+
+Design notes (TPU):
+* The whole frame is one jit (or one ``lax.scan`` chunk): detect, mask
+  post-processing, probe, association, fusion and render never leave the
+  device; only the raw [H, W, 3] uint8 frame goes up and (optionally) the
+  rendered [H, W, 3] uint8 comes back.
+* Image molding happens on device (``resize_image``'s square mode,
+  ``Mask_RCNN/mrcnn/utils.py:392-497``) — static geometry per sensor size.
+* The splat's camera-free shell compaction (fusion/splat.py
+  ``_compact_shell``) is computed ONCE per frame and shared between the
+  back-projection probe and the render (``share_shell=True``): the render
+  then reuses the pre-fuse shell with post-fuse color/histogram (one frame
+  of shell staleness, invisible at sensor frame-to-frame motion), paying
+  only projection + sort + scatter + shade. ``share_shell=False``
+  recompacts after fusing — the bitwise-fresh render for fidelity tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_maskrcnn_tpu.fusion.associate import (apply_relabel,
+                                                associate_instances)
+from slam_maskrcnn_tpu.fusion.splat import (_compact_shell, _shade,
+                                            _splat_from_rows,
+                                            pinhole_of_orbit,
+                                            probe_from_rows)
+from slam_maskrcnn_tpu.fusion.state import FusionConfig
+from slam_maskrcnn_tpu.models.anchors import get_anchors
+from slam_maskrcnn_tpu.models.mask_ops import label_masks_device
+from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import fuse_frame_blocked_impl
+
+
+def device_mold_geometry(model_config, H: int, W: int):
+    """Static square-mode molding geometry for a fixed sensor size
+    (mirrors ``resize_image``, utils.py:392-497, and LivePipeline's
+    device molding). Returns (rh, rw, top, left, mh, mw, nwin [1,4])."""
+    assert model_config.IMAGE_RESIZE_MODE == "square", \
+        "device molding implements the square resize mode"
+    mh = mw = int(model_config.IMAGE_MAX_DIM)
+    scale = max(1.0, model_config.IMAGE_MIN_DIM / min(H, W))
+    if model_config.IMAGE_MIN_SCALE:
+        scale = max(scale, model_config.IMAGE_MIN_SCALE)
+    if round(max(H, W) * scale) > model_config.IMAGE_MAX_DIM:
+        scale = model_config.IMAGE_MAX_DIM / max(H, W)
+    rh, rw = round(H * scale), round(W * scale)
+    top, left = (mh - rh) // 2, (mw - rw) // 2
+    win_px = np.array([top, left, top + rh, left + rw], np.float32)
+    den = np.array([mh - 1, mw - 1, mh - 1, mw - 1], np.float32)
+    shift = np.array([0, 0, 1, 1], np.float32)
+    nwin = ((win_px - shift) / den)[None]
+    return rh, rw, top, left, mh, mw, nwin
+
+
+def north_star_step_impl(model, params, anchors, nwin, state,
+                         depth, color_bgr, e2i, intrinsic, angle, dist,
+                         cfg: FusionConfig, H: int, W: int,
+                         geom, mean_pixel,
+                         share_shell: bool = True,
+                         render_mode: str = "instance"):
+    """One full north-star frame (scan-able, all static shapes).
+
+    Returns (new_state, render [H, W, 3] u8, mask_g [H, W], misses)."""
+    rh, rw, top, left, mh, mw = geom
+
+    # ---- detect + device label-encode (only the raw u8 frame came up) ----
+    rgb = color_bgr[..., ::-1].astype(jnp.float32)
+    img = jax.image.resize(rgb, (rh, rw, 3), method="bilinear")
+    img = jnp.pad(img, ((top, mh - rh - top), (left, mw - rw - left),
+                        (0, 0)))
+    molded = (img - jnp.asarray(mean_pixel, jnp.float32))[None]
+    out = model.module.apply(params, molded, anchors, nwin)
+    mask = label_masks_device(out["detections"][0], out["masks"][0],
+                              nwin[0], (H, W), min_area=2000)
+
+    # ---- shell compaction once, shared probe <-> render ----
+    rows = _compact_shell(state.diff, state.vol_start, state.voxel,
+                          state.nby, state.nbz, cfg.splat_max_blocks,
+                          cfg.splat_max_rows, cfg.splat_shell_band)
+
+    def with_assoc(operand):
+        st, msk = operand
+        probs, bm, ovf = probe_from_rows(rows, st.hist, e2i, intrinsic,
+                                         H, W, cfg)
+        rl, no = associate_instances(probs, bm, msk, st.n_obs, st.num_objs,
+                                     cfg)
+        return rl, no, ovf
+
+    def first_fuse(operand):
+        st, msk = operand
+        identity = jnp.arange(cfg.max_objects, dtype=jnp.int32)
+        return (identity, jnp.max(msk).astype(jnp.int32) + 1,
+                jnp.zeros((), jnp.int32))
+
+    relabel, num_objs, overflow = jax.lax.cond(
+        state.n_obs > 0, with_assoc, first_fuse, (state, mask))
+    mask_g = apply_relabel(mask, relabel)
+    state = state.replace(num_objs=num_objs)
+    state, misses = fuse_frame_blocked_impl(state, depth, color_bgr, mask_g,
+                                            e2i, intrinsic, cfg)
+
+    # ---- render in the loop (viewer.cu orbit camera) ----
+    if not share_shell:
+        rows = _compact_shell(state.diff, state.vol_start, state.voxel,
+                              state.nby, state.nbz, cfg.splat_max_blocks,
+                              cfg.splat_max_rows, cfg.splat_shell_band)
+    M, m4 = pinhole_of_orbit(angle, dist, intrinsic)
+    zbuf, vid, _ = _splat_from_rows(rows, M, m4, H, W,
+                                    cfg.splat_max_blocks,
+                                    cfg.splat_max_rows,
+                                    cfg.splat_max_surface,
+                                    cfg.splat_row_cap, fill=True)
+    render = _shade(zbuf.reshape(H, W), vid.reshape(H, W), state.colorpk,
+                    state.hist, render_mode)
+    return state, render, mask_g, misses + overflow
+
+
+class NorthStar:
+    """Driver owning the jitted per-frame step and the scan chunk form.
+
+    Per-frame inputs are (depth u16/f32 [H, W], color BGR u8 [H, W, 3],
+    extrinsic2init f32 [4, 4], angle, dist); outputs are the rendered
+    frame and the relabeled global-id mask, both device-resident."""
+
+    def __init__(self, model, intrinsic, cfg: FusionConfig, H: int, W: int,
+                 share_shell: bool = True, render_mode: str = "instance"):
+        self.model, self.cfg, self.H, self.W = model, cfg, H, W
+        geom_all = device_mold_geometry(model.config, H, W)
+        self.geom = tuple(geom_all[:6])
+        self.nwin = jnp.asarray(geom_all[6])
+        mh, mw = self.geom[4], self.geom[5]
+        self.anchors = jnp.asarray(get_anchors(model.config, (mh, mw, 3)))
+        self.intrinsic = jnp.asarray(intrinsic, jnp.float32)
+        self.mean_pixel = np.asarray(model.config.MEAN_PIXEL, np.float32)
+        step = partial(north_star_step_impl, model, cfg=cfg, H=H, W=W,
+                       geom=self.geom, mean_pixel=self.mean_pixel,
+                       share_shell=share_shell, render_mode=render_mode)
+        self._step = jax.jit(
+            lambda params, anchors, nwin, state, d, c, e, K, a, s:
+            step(params, anchors, nwin, state, d, c, e, K, a, s),
+            donate_argnums=(3,))
+
+        def chunk(params, anchors, nwin, state, depths, colors, es, K4,
+                  angles, dist):
+            def body(st, fr):
+                d, c, e, a = fr
+                st, render, mask_g, miss = step(params, anchors, nwin, st,
+                                                d, c, e, K4, a, dist)
+                return st, (render, mask_g, miss)
+
+            state, (renders, masks_g, misses) = jax.lax.scan(
+                body, state, (depths, colors, es, angles))
+            return state, renders, masks_g, misses
+
+        self._chunk = jax.jit(chunk, donate_argnums=(3,))
+
+    def step(self, state, depth, color_bgr, e2i, angle, dist):
+        return self._step(self.model.params, self.anchors, self.nwin,
+                          state, jnp.asarray(depth), jnp.asarray(color_bgr),
+                          jnp.asarray(e2i), self.intrinsic,
+                          jnp.asarray(angle, jnp.float32),
+                          jnp.asarray(dist, jnp.float32))
+
+    def run_chunk(self, state, depths, colors, es, angles, dist):
+        """One dispatch for a whole pre-staged frame stack ([N, ...]):
+        the throughput form (per-call dispatch costs 30-60 ms through a
+        remote relay). Returns (state, renders [N,H,W,3] u8, masks_g,
+        misses [N]) — all device-resident."""
+        return self._chunk(self.model.params, self.anchors, self.nwin,
+                           state, depths, colors, es, self.intrinsic,
+                           angles, jnp.asarray(dist, jnp.float32))

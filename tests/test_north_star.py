@@ -1,0 +1,125 @@
+"""North-star composition (samples/north_star.py): detect -> label-encode
+-> blocked fuse -> in-loop render as one device program, at tiny scale.
+
+Checks (a) the fused state matches running detect + fusion_step_blocked
+separately (the shared-shell probe is the same computation as
+splat_probe), (b) the scan chunk form matches the per-call form, (c) the
+render is a well-formed image."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
+from slam_maskrcnn_tpu.fusion import FusionConfig
+from slam_maskrcnn_tpu.fusion.pipeline import fusion_step_blocked
+from slam_maskrcnn_tpu.fusion.state import make_intrinsic
+from slam_maskrcnn_tpu.models import Config, MaskRCNN
+from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+    init_blocked_from_first_frame)
+from slam_maskrcnn_tpu.samples.north_star import NorthStar
+
+
+class TinyConfig(Config):
+    NAME = "tiny"
+    BACKBONE = "resnet50"
+    IMAGE_MIN_DIM = 128
+    IMAGE_MAX_DIM = 128
+    NUM_CLASSES = 4
+    RPN_ANCHOR_SCALES = (8, 16, 32, 64, 128)
+    POST_NMS_ROIS_INFERENCE = 50
+    PRE_NMS_LIMIT = 200
+    DETECTION_MAX_INSTANCES = 10
+    IMAGES_PER_GPU = 1
+    GPU_COUNT = 1
+    DETECTION_MIN_CONFIDENCE = 0.0
+    COMPUTE_DTYPE = "float32"
+
+
+def _setup(H=96, W=128, n_frames=4):
+    K4 = make_intrinsic(100.0, 100.0, W / 2, H / 2)
+    frames = make_sequence(default_scene(), K4, H, W, n_frames=n_frames)
+    model = MaskRCNN("inference", TinyConfig())
+    model.init_params(0)
+    cfg = FusionConfig(vol_dim=(64,) * 3, hist_dtype=jnp.uint16)
+    state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
+                                          frames[0]["mean_depth"])
+    E0i = np.linalg.inv(frames[0]["extrinsic"]).astype(np.float32)
+    staged = [(jnp.asarray(fr["depth"]), jnp.asarray(fr["color"]),
+               jnp.asarray((fr["extrinsic"] @ E0i).astype(np.float32)))
+              for fr in frames[1:]]
+    return model, K4, cfg, state, staged, frames[0]["mean_depth"]
+
+
+def test_north_star_step_matches_split_pipeline():
+    model, K4, cfg, state, staged, dist = _setup()
+    ns = NorthStar(model, K4, cfg, 96, 128)
+
+    state_ref = jax.tree.map(lambda x: x.copy(), state)
+    state_ns = jax.tree.map(lambda x: x.copy(), state)
+    Kj = jnp.asarray(K4)
+    for i, (d, c, e) in enumerate(staged):
+        state_ns, render, mask_g_ns, miss_ns = ns.step(
+            state_ns, d, c, e, 0.01 * (i + 1), dist)
+        # reference composition: the model's own detect mask + the
+        # standard blocked fusion step
+        mask = _detect_mask(ns, model, c, 96, 128)
+        state_ref, mask_g_ref, miss_ref = fusion_step_blocked(
+            state_ref, d, c, mask, e, Kj, cfg)
+        np.testing.assert_array_equal(np.asarray(mask_g_ns),
+                                      np.asarray(mask_g_ref))
+        assert int(miss_ns) == int(miss_ref)
+    np.testing.assert_array_equal(np.asarray(state_ns.weight),
+                                  np.asarray(state_ref.weight))
+    np.testing.assert_allclose(np.asarray(state_ns.diff),
+                               np.asarray(state_ref.diff), rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(state_ns.hist),
+                                  np.asarray(state_ref.hist))
+    img = np.asarray(render)
+    assert img.shape == (96, 128, 3) and img.dtype == np.uint8
+
+
+def _detect_mask(ns, model, color_bgr, H, W):
+    from slam_maskrcnn_tpu.models.mask_ops import label_masks_device
+
+    rh, rw, top, left, mh, mw = ns.geom
+
+    @jax.jit
+    def f(params, c):
+        rgb = c[..., ::-1].astype(jnp.float32)
+        img = jax.image.resize(rgb, (rh, rw, 3), method="bilinear")
+        img = jnp.pad(img, ((top, mh - rh - top), (left, mw - rw - left),
+                            (0, 0)))
+        molded = (img - jnp.asarray(ns.mean_pixel))[None]
+        out = model.module.apply(params, molded, ns.anchors, ns.nwin)
+        return label_masks_device(out["detections"][0], out["masks"][0],
+                                  ns.nwin[0], (H, W), min_area=2000)
+
+    return f(model.params, color_bgr)
+
+
+def test_north_star_chunk_matches_percall():
+    model, K4, cfg, state, staged, dist = _setup()
+    ns = NorthStar(model, K4, cfg, 96, 128)
+
+    state_a = jax.tree.map(lambda x: x.copy(), state)
+    renders = []
+    for i, (d, c, e) in enumerate(staged):
+        state_a, render, _, _ = ns.step(state_a, d, c, e,
+                                        0.01 * (i + 1), dist)
+        renders.append(np.asarray(render))
+
+    depths = jnp.stack([s[0] for s in staged])
+    colors = jnp.stack([s[1] for s in staged])
+    es = jnp.stack([s[2] for s in staged])
+    angles = jnp.asarray([0.01 * (i + 1) for i in range(len(staged))],
+                         jnp.float32)
+    state_b, renders_b, masks_b, misses = ns.run_chunk(
+        jax.tree.map(lambda x: x.copy(), state), depths, colors, es,
+        angles, dist)
+    np.testing.assert_array_equal(np.asarray(state_a.weight),
+                                  np.asarray(state_b.weight))
+    np.testing.assert_array_equal(np.asarray(state_a.hist),
+                                  np.asarray(state_b.hist))
+    for i, r in enumerate(renders):
+        np.testing.assert_array_equal(r, np.asarray(renders_b[i]))
