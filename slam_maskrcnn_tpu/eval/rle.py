@@ -172,6 +172,78 @@ def rle_iou(dets: list[dict], gts: list[dict],
     return out
 
 
+def rle_to_bbox(rle: dict) -> np.ndarray:
+    """RLE -> [x, y, w, h] bbox (maskUtils.toBbox / maskApi rleToBbox
+    semantics, ``Mask_RCNN/pycocotools/mask.py:36``): computed from the
+    runs directly, column-major. A one-run spanning multiple columns
+    forces the y extent to the full height, as upstream."""
+    h, w = rle["size"]
+    counts = np.asarray(rle["counts"], np.int64)
+    ones = counts[1::2]
+    if h == 0 or w == 0 or ones.size == 0 or ones.sum() == 0:
+        return np.zeros(4, np.float64)
+    ends = np.cumsum(counts)
+    start = ends[0::2][:ones.size][ones > 0]      # first index of each run
+    stop = ends[1::2][:ones.size][ones > 0] - 1   # last index (inclusive)
+    sc, ec = start // h, stop // h
+    sr, er = start % h, stop % h
+    xs, xe = int(sc.min()), int(ec.max())
+    if (sc != ec).any():
+        ys, ye = 0, h - 1
+    else:
+        ys, ye = int(sr.min()), int(er.max())
+    return np.array([xs, ys, xe - xs + 1, ye - ys + 1], np.float64)
+
+
+def fr_py_objects(pyobj, h: int, w: int):
+    """Polygon(s) / uncompressed RLE(s) / bbox(es) -> RLE dict(s) with
+    native uint32 counts (maskUtils.frPyObjects dispatch,
+    ``Mask_RCNN/pycocotools/mask.py:37``, ``_mask.pyx:245-308``). Lists
+    return a list of RLEs; a single dict / flat polygon / 4-vector
+    returns one RLE. Polygons rasterize via the same fill convention as
+    ``samples/coco.ann_to_mask`` (cv2.fillPoly)."""
+    def one_poly(poly):
+        import cv2
+
+        mask = np.zeros((h, w), np.uint8)
+        pts = np.asarray(poly, np.float64).reshape(-1, 2)
+        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+        return rle_encode(mask)
+
+    def one_bbox(bb):
+        x, y, bw, bh = [float(v) for v in bb]
+        mask = np.zeros((h, w), np.uint8)
+        y0, y1 = int(round(y)), int(round(y + bh))
+        x0, x1 = int(round(x)), int(round(x + bw))
+        mask[max(y0, 0):max(y1, 0), max(x0, 0):max(x1, 0)] = 1
+        return rle_encode(mask)
+
+    def one_uncompressed(d):
+        counts = d["counts"]
+        if isinstance(counts, str):
+            counts = string_to_counts(counts)
+        return {"size": list(d["size"]),
+                "counts": np.asarray(counts, np.uint32)}
+
+    if isinstance(pyobj, np.ndarray):
+        return [one_bbox(b) for b in pyobj.reshape(-1, 4)]
+    if isinstance(pyobj, dict):
+        return one_uncompressed(pyobj)
+    if isinstance(pyobj, (list, tuple)) and pyobj:
+        first = pyobj[0]
+        if isinstance(first, dict):
+            return [one_uncompressed(d) for d in pyobj]
+        if isinstance(first, (list, tuple, np.ndarray)):
+            if len(first) == 4:
+                return [one_bbox(b) for b in pyobj]
+            return [one_poly(p) for p in pyobj]
+        # flat list of numbers: one bbox or one polygon
+        if len(pyobj) == 4:
+            return one_bbox(pyobj)
+        return one_poly(pyobj)
+    raise TypeError("unsupported object for fr_py_objects")
+
+
 def counts_to_string(counts: np.ndarray) -> str:
     """Compress counts to the COCO JSON LEB128-style string."""
     s = []

@@ -157,3 +157,59 @@ def test_cocoeval_lite_segm():
     ev = COCOevalLite(gts, dts, iou_type="segm")
     ev.evaluate()
     assert abs(ev.stats[("all", 100)]["ap"] - 1.0) < 1e-6
+
+
+def test_rle_to_bbox():
+    from slam_maskrcnn_tpu.eval.rle import rle_to_bbox
+
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        m = _rand_mask(rng, h=41, w=29, p=0.1)
+        bb = rle_to_bbox(rle_encode(m))
+        ys, xs = np.nonzero(m)
+        if ys.size == 0:
+            np.testing.assert_array_equal(bb, np.zeros(4))
+            continue
+        # a one-run spanning columns forces the full y extent (upstream
+        # rleToBbox semantics) -- only check containment + x exactness
+        assert bb[0] == xs.min() and bb[0] + bb[2] - 1 == xs.max()
+        assert bb[1] <= ys.min() and bb[1] + bb[3] - 1 >= ys.max()
+    # single-column runs: exact bbox
+    m = np.zeros((20, 15), np.uint8)
+    m[4:9, 3:7] = 1
+    np.testing.assert_array_equal(rle_to_bbox(rle_encode(m)),
+                                  [3.0, 4.0, 4.0, 5.0])
+    # empty mask
+    np.testing.assert_array_equal(
+        rle_to_bbox(rle_encode(np.zeros((8, 8), np.uint8))), np.zeros(4))
+    # full-height column run spanning columns
+    m = np.ones((6, 4), np.uint8)
+    np.testing.assert_array_equal(rle_to_bbox(rle_encode(m)),
+                                  [0.0, 0.0, 4.0, 6.0])
+
+
+def test_fr_py_objects():
+    from slam_maskrcnn_tpu.eval.rle import fr_py_objects, rle_to_bbox
+
+    h, w = 40, 60
+    # bbox list -> rectangle masks
+    rles = fr_py_objects([[5, 8, 10, 12]], h, w)
+    m = rle_decode(rles[0])
+    assert m.sum() == 10 * 12
+    np.testing.assert_array_equal(rle_to_bbox(rles[0]), [5, 8, 10, 12])
+    # ndarray of bboxes
+    rles2 = fr_py_objects(np.array([[5.0, 8, 10, 12]]), h, w)
+    np.testing.assert_array_equal(rle_decode(rles2[0]), m)
+    # polygon (a rectangle drawn as polygon covers ~the same region)
+    poly = [5, 8, 14, 8, 14, 19, 5, 19]
+    rp = fr_py_objects([poly], h, w)[0]
+    mp = rle_decode(rp)
+    assert mp[10, 7] == 1 and mp[0, 0] == 0
+    # uncompressed RLE dict passes through
+    r = rle_encode(m)
+    ru = fr_py_objects({"size": [h, w], "counts": list(r["counts"])}, h, w)
+    np.testing.assert_array_equal(rle_decode(ru), m)
+    # string counts accepted too
+    rs = fr_py_objects({"size": [h, w],
+                        "counts": counts_to_string(r["counts"])}, h, w)
+    np.testing.assert_array_equal(rle_decode(rs), m)
