@@ -93,6 +93,13 @@ class FusionConfig:
     # gather measured 4x faster (the matmul's wide int32 output dominated
     # VPU time). See ops/pallas/fuse_kernel.py.
     pallas_lookup: str = "gather"
+    # In-kernel uniform-block classification: blocks whose footprint depth
+    # bounds prove every voxel is in free space (dn == 1) take a
+    # closed-form update with no per-voxel rect lookup; blocks entirely
+    # behind the surface take the identity. Bit-exact by construction
+    # (conservative f32 bounds); False disables for A/B timing. See
+    # ops/pallas/fuse_kernel.py.
+    pallas_uniform_skip: bool = True
     # splat probe/renderer compaction budgets: blocks holding surface, and
     # visible surface voxels kept for the z-buffer scatters. Scatter cost
     # scales with these STATIC sizes (measured 256^3 step: 326 ms at

@@ -413,7 +413,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  rect_h: int, rect_w: int,
                  color_diff_gate: float, depth_scale: float,
                  group: int = GROUP, coords: str = "arith",
-                 lookup: str = "gather", hist_hbm: bool = False):
+                 lookup: str = "gather", hist_hbm: bool = False,
+                 uniform_skip: bool = True):
     # hist_hbm: the histogram (the bulk of state bytes — 64-128 B/voxel
     # vs 12 for diff+color+wt) stays in HBM (pl.ANY, aliased in place)
     # and moves by manual DMA: read only for VISIBLE blocks, written only
@@ -563,61 +564,6 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                                       rect12.at[g, pl.ds(rect_h, rect_h)],
                                       sems.at[1, g]).wait()
 
-            if lookup in ("gather", "gather_t", "gather_nodma"):
-                val1, val2 = _rect_lookup_gather(
-                    rect12.at[g], al, bl, ok, rect_h, rect_w)
-            elif lookup == "none":  # ablation only: zero lookup (WRONG math)
-                val1 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
-                        + rect12[g, 0, 0])
-                val2 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
-                        + rect12[g, rect_h, 0])
-            else:
-                val1, val2 = _rect_lookup_matmul(
-                    rect12[g, :rect_h], rect12[g, rect_h:], al, bl, ok,
-                    rh_i, rect_h, rect_w)
-            d_raw = jnp.mod(val1, 65536.0)             # uint16 depth, exact
-            m_id = jnp.floor(val1 / 65536.0)           # mask id
-            diff_m = d_raw / depth_scale - pz
-            valid = ok & (d_raw > 0) & (diff_m > -mu)
-            dn = jnp.minimum(diff_m, mu) / mu
-            gate = valid & (dn < color_diff_gate)
-            m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
-
-            wt = wt_ref[g].astype(jnp.float32)
-            diff_out[g] = jnp.where(valid,
-                                    (diff_ref[g] * wt + dn) / (wt + 1.0),
-                                    diff_ref[g])
-
-            # color: integer truncating blend per byte, exact in f32
-            cpk = colorpk_ref[g]
-            cb = jnp.mod(cpk, 256.0)
-            cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
-            cr = jnp.floor(cpk / 65536.0)
-            nb_ = jnp.mod(val2, 256.0)
-            ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
-            nr = jnp.floor(val2 / 65536.0)
-            wtp1 = wt + 1.0
-
-            # floor of an f32 division can land one above the true integer
-            # quotient when the ratio sits just under an integer; correct it so
-            # the blend matches the reference's integer truncation exactly.
-            def idiv(a, den):
-                q = jnp.floor(a / den)
-                return q - (q * den > a).astype(jnp.float32)
-
-            ub = idiv(cb * wt + nb_, wtp1)
-            ug = idiv(cg * wt + ng, wtp1)
-            ur = idiv(cr * wt + nr, wtp1)
-            new_cpk = ub + ug * 256.0 + ur * 65536.0
-            colorpk_out[g] = jnp.where(gate, new_cpk, cpk)
-
-            # histogram in the row-native layout: replicate each s-row of
-            # (m, gate) to its hist rows on the MXU (bf16-exact: values
-            # <= K-1 and 0/1, one-term sums), then lane-gather the voxel
-            # column and compare against the k lane pattern. Only blocks
-            # with at least one gated (near-surface) voxel pay for this —
-            # most visible blocks are free space and take the identity.
-            any_gate = jnp.any(gate)
             hdt = hist_buf.dtype if hist_hbm else hist_ref.dtype
             if hist_hbm:
                 # the DMA-in was started at the group prefetch stage; the
@@ -626,45 +572,166 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 pltpu.make_async_copy(hist_ref.at[blk], hist_buf.at[g],
                                       hsem.at[g]).wait()
 
-            def _hist_update(h_in):
-                m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
-                g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)
-                m_exp = jnp.take_along_axis(m2, lane_src, axis=1)
-                g_exp = jnp.take_along_axis(g2, lane_src, axis=1)
-                oh = (m_exp == k_lane) & (g_exp > 0.5)
-                if hdt == jnp.uint8:
-                    # u8 counts saturate instead of wrapping (the u8 mode
-                    # is exact for <= 255 fused frames — the reference
-                    # workload caps at 100, kernel.cpp:74). Mosaic's v5e
-                    # vector ALU has no i8 add and no i16 compare —
-                    # compute in i32, store u8: HBM traffic still halves,
-                    # which is what u8 buys.
-                    h32 = h_in.astype(jnp.int32)
-                    oh32 = (oh & (h32 < 255)).astype(jnp.int32)
-                    return (h32 + oh32).astype(hdt)
-                return h_in + oh.astype(hdt)
-
-            if hist_hbm:
-                @pl.when(any_gate)
-                def _():
-                    hist_buf[g] = _hist_update(hist_buf[g])
-                    cp = pltpu.make_async_copy(hist_buf.at[g],
-                                               hist_out.at[blk],
-                                               hsem.at[g])
-                    cp.start()
-                    cp.wait()
+            # ---- uniform-block classification (the 512^3 lever) ----
+            # The per-voxel rect lookup is the kernel's dominant cost
+            # (~57 of 88 ms at 512^3), but MOST visible blocks don't need
+            # it: a block whose whole footprint depth range puts every
+            # voxel beyond the truncation band in FRONT of the surface
+            # updates uniformly (dn == 1, no color/hist), and one entirely
+            # BEHIND it (diff <= -mu culled) is the identity. Both bounds
+            # come from a masked min/max over the footprint's bbox inside
+            # the already-DMA'd rect — ~30x cheaper than the lookup chain
+            # — and are conservative in exact f32 arithmetic, so the
+            # classified updates are BIT-IDENTICAL to the full path:
+            #   free:   d_raw >= d_min, pz <= pz_max
+            #           => diff_m >= d_min/s - pz_max >= mu => dn = 1
+            #   behind: d_raw <= d_max, pz >= pz_min
+            #           => diff_m <= d_max/s - pz_min <= -mu => invalid
+            # (d_raw == 0 pixels are invalid in both paths.) The miss
+            # counter above is branch-independent. `uniform_skip` gates
+            # the whole scheme for A/B timing.
+            if uniform_skip:
+                d_tab = jnp.mod(rect12[g, :rect_h], 65536.0)
+                row_i = jax.lax.broadcasted_iota(jnp.int32,
+                                                 (rect_h, rect_w), 0)
+                col_i = jax.lax.broadcasted_iota(jnp.int32,
+                                                 (rect_h, rect_w), 1)
+                big_i = jnp.int32(2 ** 30)
+                al_min = jnp.min(jnp.where(in_img, al, big_i))
+                al_max = jnp.max(jnp.where(in_img, al, -1))
+                bl_min = jnp.min(jnp.where(in_img, bl, big_i))
+                bl_max = jnp.max(jnp.where(in_img, bl, -1))
+                fp = ((row_i >= al_min) & (row_i <= al_max)
+                      & (col_i >= bl_min) & (col_i <= bl_max))
+                d_min = jnp.min(jnp.where(fp, d_tab, jnp.float32(1e30)))
+                d_max = jnp.max(jnp.where(fp, d_tab, 0.0))
+                pz_min = jnp.min(pz)
+                pz_max = jnp.max(pz)
+                behind = d_max / depth_scale - pz_min <= -mu
+                free = (jnp.all(ok) & (d_min > 0.0)
+                        & (d_min / depth_scale - pz_max >= mu))
             else:
-                @pl.when(any_gate)
-                def _():
-                    hist_out[g] = _hist_update(hist_ref[g])
+                behind = jnp.bool_(False)
+                free = jnp.bool_(False)
 
-                @pl.when(~any_gate)
-                def _():
+            @pl.when(behind)
+            def _():
+                # every voxel invalid: full identity
+                diff_out[g] = diff_ref[g]
+                colorpk_out[g] = colorpk_ref[g]
+                wt_out[g] = wt_ref[g]
+                if not hist_hbm:
                     hist_out[g] = hist_ref[g]
 
-            wt_out[g] = wt_ref[g] + valid.astype(jnp.int32)
+            @pl.when(~behind & free)
+            def _():
+                # every voxel valid with dn == 1: closed-form update,
+                # color/hist gated off (dn >= color_diff_gate)
+                wt = wt_ref[g].astype(jnp.float32)
+                diff_out[g] = (diff_ref[g] * wt + 1.0) / (wt + 1.0)
+                colorpk_out[g] = colorpk_ref[g]
+                wt_out[g] = wt_ref[g] + 1
+                if not hist_hbm:
+                    hist_out[g] = hist_ref[g]
+
+            @pl.when(~behind & ~free)
+            def _():
+                if lookup in ("gather", "gather_t", "gather_nodma"):
+                    val1, val2 = _rect_lookup_gather(
+                        rect12.at[g], al, bl, ok, rect_h, rect_w)
+                elif lookup == "none":  # ablation only (WRONG math)
+                    val1 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
+                            + rect12[g, 0, 0])
+                    val2 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
+                            + rect12[g, rect_h, 0])
+                else:
+                    val1, val2 = _rect_lookup_matmul(
+                        rect12[g, :rect_h], rect12[g, rect_h:], al, bl, ok,
+                        rh_i, rect_h, rect_w)
+                d_raw = jnp.mod(val1, 65536.0)         # uint16 depth, exact
+                m_id = jnp.floor(val1 / 65536.0)       # mask id
+                diff_m = d_raw / depth_scale - pz
+                valid = ok & (d_raw > 0) & (diff_m > -mu)
+                dn = jnp.minimum(diff_m, mu) / mu
+                gate = valid & (dn < color_diff_gate)
+                m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
+
+                wt = wt_ref[g].astype(jnp.float32)
+                diff_out[g] = jnp.where(valid,
+                                        (diff_ref[g] * wt + dn)
+                                        / (wt + 1.0),
+                                        diff_ref[g])
+
+                # color: integer truncating blend per byte, exact in f32
+                cpk = colorpk_ref[g]
+                cb = jnp.mod(cpk, 256.0)
+                cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
+                cr = jnp.floor(cpk / 65536.0)
+                nb_ = jnp.mod(val2, 256.0)
+                ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
+                nr = jnp.floor(val2 / 65536.0)
+                wtp1 = wt + 1.0
+
+                # floor of an f32 division can land one above the true
+                # integer quotient when the ratio sits just under an
+                # integer; correct it so the blend matches the reference's
+                # integer truncation exactly.
+                def idiv(a, den):
+                    q = jnp.floor(a / den)
+                    return q - (q * den > a).astype(jnp.float32)
+
+                ub = idiv(cb * wt + nb_, wtp1)
+                ug = idiv(cg * wt + ng, wtp1)
+                ur = idiv(cr * wt + nr, wtp1)
+                new_cpk = ub + ug * 256.0 + ur * 65536.0
+                colorpk_out[g] = jnp.where(gate, new_cpk, cpk)
+
+                # histogram in the row-native layout: replicate each s-row
+                # of (m, gate) to its hist rows on the MXU (bf16-exact:
+                # values <= K-1 and 0/1, one-term sums), then lane-gather
+                # the voxel column and compare against the k lane pattern.
+                # Only blocks with at least one gated (near-surface) voxel
+                # pay for this.
+                any_gate = jnp.any(gate)
+
+                def _hist_update(h_in):
+                    m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+                    g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+                    m_exp = jnp.take_along_axis(m2, lane_src, axis=1)
+                    g_exp = jnp.take_along_axis(g2, lane_src, axis=1)
+                    oh = (m_exp == k_lane) & (g_exp > 0.5)
+                    if hdt == jnp.uint8:
+                        # u8 counts saturate instead of wrapping (exact
+                        # for <= 255 fused frames — the reference caps at
+                        # 100, kernel.cpp:74). Mosaic's v5e vector ALU has
+                        # no i8 add and no i16 compare — compute in i32,
+                        # store u8: HBM traffic still halves.
+                        h32 = h_in.astype(jnp.int32)
+                        oh32 = (oh & (h32 < 255)).astype(jnp.int32)
+                        return (h32 + oh32).astype(hdt)
+                    return h_in + oh.astype(hdt)
+
+                if hist_hbm:
+                    @pl.when(any_gate)
+                    def _():
+                        hist_buf[g] = _hist_update(hist_buf[g])
+                        cp = pltpu.make_async_copy(hist_buf.at[g],
+                                                   hist_out.at[blk],
+                                                   hsem.at[g])
+                        cp.start()
+                        cp.wait()
+                else:
+                    @pl.when(any_gate)
+                    def _():
+                        hist_out[g] = _hist_update(hist_ref[g])
+
+                    @pl.when(~any_gate)
+                    def _():
+                        hist_out[g] = hist_ref[g]
+
+                wt_out[g] = wt_ref[g] + valid.astype(jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, group, _block_body, 0)
@@ -730,11 +797,12 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     ]).astype(jnp.float32)
 
     HRK = BLOCK_VOX * K // TILE_L
+    uniform_skip = getattr(cfg, "pallas_uniform_skip", True)
     kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
                    rect_h=rect_h, rect_w=rect_w,
                    color_diff_gate=cfg.color_diff_gate,
                    depth_scale=cfg.depth_scale, lookup=lookup,
-                   hist_hbm=True)
+                   hist_hbm=True, uniform_skip=uniform_skip)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -826,7 +894,8 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                          nbz=b.nbz, rect_h=rh, rect_w=rw,
                          color_diff_gate=cfg.color_diff_gate,
                          depth_scale=cfg.depth_scale, group=grp,
-                         coords="smem", lookup=lookup)
+                         coords="smem", lookup=lookup,
+                         uniform_skip=uniform_skip)
         grid_c = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(budget // grp,),

@@ -210,4 +210,7 @@ def make_sharded_fusion_step(cfg, mesh: Mesh, axis: str = "data",
                                   hist=hist, n_obs=n_obs, num_objs=num_objs)
         return new_state, mask_g, miss
 
+    # the underlying jit, for .lower()-based HLO inspection (the sharded
+    # bench counts the compiled graph's actual collective bytes)
+    step.step_arrays = step_arrays
     return step
