@@ -197,7 +197,7 @@ def fuse_sequence_blocked(state, depths: jax.Array, colors: jax.Array,
 def fusion_step_blocked_impl(state, depth, color, mask, extrinsic2init,
                              intrinsic, cfg: FusionConfig):
     """Unjitted body of :func:`fusion_step_blocked` (scan-able)."""
-    from slam_maskrcnn_tpu.fusion.splat import splat_probe
+    from slam_maskrcnn_tpu.fusion.splat import depth_probe, splat_probe
     from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
         fuse_frame_blocked_impl)
 
@@ -205,8 +205,12 @@ def fusion_step_blocked_impl(state, depth, color, mask, extrinsic2init,
 
     def with_assoc(operand):
         st, msk = operand
-        probs, bm, ovf = splat_probe(st, extrinsic2init, intrinsic, H, W,
-                                     cfg)
+        if cfg.probe_mode == "depth":
+            probs, bm, ovf, _clip = depth_probe(st, depth, extrinsic2init,
+                                                intrinsic, H, W, cfg)
+        else:
+            probs, bm, ovf, _clip = splat_probe(st, extrinsic2init,
+                                                intrinsic, H, W, cfg)
         rl, no = associate_instances(probs, bm, msk, st.n_obs, st.num_objs,
                                      cfg)
         return rl, no, ovf

@@ -106,12 +106,14 @@ def _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4, H, W,
                           max_rows: int = 8192, shell_band: float = 0.999,
                           row_cap: int = 0, fill: bool = False):
     """Core splat: returns (zbuf [H*W] f32, winner voxel id [H*W] i32 with
-    -1 for empty, overflow). Voxel id = blk * 2048 + s * 128 + l, indexing
-    the flat voxel-major views of the blocked arrays. `overflow` counts
-    active blocks beyond max_blocks plus visible surface voxels beyond
-    max_surface — nonzero means the z-buffer silently dropped surface and
-    the caller should raise the budgets (it feeds the fusion-step miss
-    channel).
+    -1 for empty, overflow, clip). Voxel id = blk * 2048 + s * 128 + l,
+    indexing the flat voxel-major views of the blocked arrays. `overflow`
+    counts HARD budget loss (active blocks beyond max_blocks, shell rows
+    beyond max_rows, exact-form surface beyond max_surface) — nonzero
+    means the z-buffer silently dropped surface and the caller should
+    raise the budgets (it feeds the fusion-step miss channel). `clip`
+    counts row-cap'd z-order-redundant entries (see _splat_from_rows) —
+    reported separately, not a miss.
 
     Takes explicit arrays (not the state pytree) so jitted callers have no
     unused pytree leaves — a jax-0.9 fastpath bug miscounts donated/pruned
@@ -254,12 +256,24 @@ def _splat_from_rows(rows, M, m4, H, W, max_blocks: int, max_rows: int,
         z_s = jnp.where(sel_ok, z_r.reshape(-1)[sel_c], BIG)
         pix_s = jnp.where(sel_ok, pix_r.reshape(-1)[sel_c], H * W)
         code_s = code_r.reshape(-1)[sel_c]
-        cap_clipped = jnp.maximum(vis_r.sum() - max_surface, 0)
+        # exact-form truncation beyond max_surface drops ARBITRARY
+        # entries (nonzero fill order, not z order) — hard loss
+        cap_clipped = jnp.zeros((), jnp.int32)
+        over_blocks = over_blocks + jnp.maximum(vis_r.sum() - max_surface,
+                                                0)
     n_surface = z_s.size
 
+    # two channels (VERDICT r2 "no silent caps"): `overflow` is HARD loss
+    # (block/row budget exceeded — surface voxels never reached the
+    # z-buffer; raise the budgets), `clip` counts row-cap'd entries, which
+    # are each row's FARTHEST candidates behind >= cap nearer voxels in
+    # the same 4 z-columns — z-order-redundant in practice (cap 24 at the
+    # 512^3 bench scene: 217 clipped, 65 of 307k pixels changed, coverage
+    # identical). Callers fold `overflow` into the miss channel and report
+    # `clip` separately.
     overflow = (over_blocks
-                + jnp.maximum(n_rows - max_rows, 0) * L
-                + cap_clipped)
+                + jnp.maximum(n_rows - max_rows, 0) * L)
+    clip = cap_clipped
 
     # ONE scatter-min of a packed key resolves depth AND winner: key =
     # quantized-z << idx_bits | compact-surface index. The old
@@ -305,7 +319,7 @@ def _splat_from_rows(rows, M, m4, H, W, max_blocks: int, max_rows: int,
     zbuf = jnp.where(have,
                      (kb >> idx_bits).astype(jnp.float32) / z_scale,
                      BIG)
-    return zbuf, vid, overflow
+    return zbuf, vid, overflow, clip
 
 
 def _gather_hist_rows(hist, vox_ids, K):
@@ -360,10 +374,11 @@ def _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
                       max_surface: int = 512 * 1024, max_rows: int = 8192,
                       shell_band: float = 0.999, fill: bool = True,
                       row_cap: int = 0):
-    zbuf, vid, _ = _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4,
-                                         H, W, nby, nbz, max_blocks,
-                                         max_surface, max_rows, shell_band,
-                                         row_cap, fill)  # key-space fill
+    zbuf, vid, _, _ = _splat_zbuffer_arrays(diff, vol_start, voxel, M, m4,
+                                            H, W, nby, nbz, max_blocks,
+                                            max_surface, max_rows,
+                                            shell_band, row_cap,
+                                            fill)  # key-space fill
     return _shade(zbuf.reshape(H, W), vid.reshape(H, W), colorpk, hist,
                   mode)
 
@@ -420,14 +435,14 @@ def probe_from_rows(rows, hist, extrinsic2init, intrinsic, H: int, W: int,
     """Back-projection probe from a PRECOMPUTED compacted shell (see
     _compact_shell): the north-star streaming step computes the camera-free
     shell once per frame and shares it between this probe and the in-loop
-    render. Returns (probs, box_mask, overflow)."""
+    render. Returns (probs, box_mask, overflow, clip)."""
     M, m4 = pinhole_of_extrinsic(extrinsic2init, intrinsic)
-    zbuf, vid, overflow = _splat_from_rows(
+    zbuf, vid, overflow, clip = _splat_from_rows(
         rows, M, m4, H, W, cfg.splat_max_blocks,
         getattr(cfg, "splat_max_rows", 8192), cfg.splat_max_surface,
         getattr(cfg, "splat_row_cap", 0), fill=True)
     probs, box_mask = _probe_decode(vid, hist, H, W, cfg.box_mask_thresh)
-    return probs, box_mask, overflow
+    return probs, box_mask, overflow, clip
 
 
 @partial(jax.jit, static_argnames=("cfg", "H", "W", "max_blocks"))
@@ -441,13 +456,13 @@ def _splat_probe_jit(b, extrinsic2init, intrinsic, H: int, W: int,
     box_mask [H, W, K] bool) — nearest-voxel counts instead of trilinear
     interpolation (fast mode)."""
     M, m4 = pinhole_of_extrinsic(extrinsic2init, intrinsic)
-    zbuf, vid, overflow = splat_zbuffer(
+    zbuf, vid, overflow, clip = splat_zbuffer(
         b, M, m4, H, W, cfg.splat_max_blocks, cfg.splat_max_surface,
         getattr(cfg, "splat_max_rows", 8192),
         getattr(cfg, "splat_shell_band", 0.999),
         getattr(cfg, "splat_row_cap", 0), fill=True)  # key-space fill
     probs, box_mask = _probe_decode(vid, b.hist, H, W, cfg.box_mask_thresh)
-    return probs, box_mask, overflow
+    return probs, box_mask, overflow, clip
 
 
 def splat_render(b, M, m4, H, W, cfg, mode="instance", max_blocks=None,
@@ -509,6 +524,69 @@ def splat_probe(b, extrinsic2init, intrinsic, H, W, cfg, max_blocks=None):
                             max_blocks=max_blocks)
 
 
+@partial(jax.jit, static_argnames=("nbx", "nby", "nbz", "H", "W"))
+def _depth_probe_jit(depth, hist, vol_start, voxel, extrinsic2init,
+                     intrinsic, nbx: int, nby: int, nbz: int,
+                     H: int, W: int, thresh, depth_scale):
+    """Depth-direct probe: per-pixel voxel id straight from the sensor
+    depth, no splat pass.
+
+    The reference probe marches the stored TSDF to its zero crossing
+    (``tsdf.cu:72-135``); in a static scene the crossing the fusion wrote
+    sits AT the observed depth, so back-projecting the depth map lands on
+    the same voxel (±1 — harmless, instance votes spread over the ±mu
+    truncation band). This replaces the probe's entire projection +
+    scatter-min pass (~15 ms at 512^3) with dense pixel math (~1 ms);
+    the histogram fetch (_probe_decode) is shared. Trade: pixels with no
+    depth return no votes, where the march could still hit stored
+    surface — the same pixels the reference's depth-gated masks ignore
+    (``dmask.py`` depth_filter). Enabled by cfg.probe_mode="depth"."""
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (BLOCK_VOX, BX, BY,
+                                                          BZ)
+    d_m = depth.astype(jnp.float32) / depth_scale
+    Kinv = jnp.linalg.inv(jnp.asarray(intrinsic, jnp.float32)[:3, :3])
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    # camera-space point at the observed depth (z = d, not ray length:
+    # the pinhole projects s = K p with u = s_x / s_z — see
+    # pinhole_of_extrinsic — so p = d * K^-1 [u, v, 1])
+    cx = (Kinv[0, 0] * u + Kinv[0, 1] * v + Kinv[0, 2]) * d_m
+    cy = (Kinv[1, 0] * u + Kinv[1, 1] * v + Kinv[1, 2]) * d_m
+    cz = (Kinv[2, 2] + jnp.zeros_like(u)) * d_m
+    E = jnp.asarray(extrinsic2init, jnp.float32)
+    R, t = E[:3, :3], E[:3, 3]
+    # init frame: p = R^T (c - t)
+    px = R[0, 0] * (cx - t[0]) + R[1, 0] * (cy - t[1]) + R[2, 0] * (cz - t[2])
+    py = R[0, 1] * (cx - t[0]) + R[1, 1] * (cy - t[1]) + R[2, 1] * (cz - t[2])
+    pz = R[0, 2] * (cx - t[0]) + R[1, 2] * (cy - t[1]) + R[2, 2] * (cz - t[2])
+    gx = jnp.round((px - vol_start[0]) / voxel[0]).astype(jnp.int32)
+    gy = jnp.round((py - vol_start[1]) / voxel[1]).astype(jnp.int32)
+    gz = jnp.round((pz - vol_start[2]) / voxel[2]).astype(jnp.int32)
+    ok = ((d_m > 0)
+          & (gx >= 0) & (gx < nbx * BX)
+          & (gy >= 0) & (gy < nby * BY)
+          & (gz >= 0) & (gz < nbz * BZ))
+    gxs = jnp.clip(gx, 0, nbx * BX - 1)
+    gys = jnp.clip(gy, 0, nby * BY - 1)
+    gzs = jnp.clip(gz, 0, nbz * BZ - 1)
+    blk = ((gxs // BX) * (nby * nbz) + (gys // BY) * nbz + (gzs // BZ))
+    vlin = (gxs % BX) * (BY * BZ) + (gys % BY) * BZ + (gzs % BZ)
+    vid = jnp.where(ok, blk * BLOCK_VOX + vlin, -1)
+    probs, box_mask = _probe_decode(vid.reshape(-1), hist, H, W, thresh)
+    zero = jnp.zeros((), jnp.int32)
+    return probs, box_mask, zero, zero
+
+
+def depth_probe(b, depth, extrinsic2init, intrinsic, H, W, cfg):
+    """Probe-API twin of splat_probe fed by the live depth map (see
+    _depth_probe_jit). Returns (probs, box_mask, overflow, clip) — the
+    depth path has no budgets, so both counters are 0."""
+    return _depth_probe_jit(depth, b.hist, b.vol_start, b.voxel,
+                            extrinsic2init, intrinsic, b.nbx, b.nby, b.nbz,
+                            H, W, jnp.asarray(cfg.box_mask_thresh),
+                            jnp.asarray(cfg.depth_scale, jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("max_blocks", "max_rows", "shell_band",
                                    "nby", "nbz"))
 def _precompute_shell_jit(diff, vol_start, voxel, nby: int, nbz: int,
@@ -524,9 +602,9 @@ def _orbit_from_rows_jit(rows, colorpk, hist, angle, dist, intrinsic,
                          H: int, W: int, mode: str, max_blocks: int,
                          max_surface: int, max_rows: int, row_cap: int):
     M, m4 = pinhole_of_orbit(angle, dist, intrinsic)
-    zbuf, vid, _ = _splat_from_rows(rows, M, m4, H, W, max_blocks,
-                                    max_rows, max_surface, row_cap,
-                                    fill=True)
+    zbuf, vid, _, _ = _splat_from_rows(rows, M, m4, H, W, max_blocks,
+                                       max_rows, max_surface, row_cap,
+                                       fill=True)
     return _shade(zbuf.reshape(H, W), vid.reshape(H, W), colorpk, hist,
                   mode)
 

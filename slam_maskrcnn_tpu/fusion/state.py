@@ -100,6 +100,15 @@ class FusionConfig:
     # (conservative f32 bounds); False disables for A/B timing. See
     # ops/pallas/fuse_kernel.py.
     pallas_uniform_skip: bool = True
+    # XLA-side pre-classification (the 512^3 DMA lever): the same
+    # free/behind bounds evaluated BEFORE the kernel launch from a
+    # 32x32-pooled depth min/max pyramid + per-block corner camera-z
+    # bounds. Pre-classified blocks skip their rect AND histogram DMAs
+    # entirely (the hist DMA alone is ~128 KB/block); the in-kernel
+    # check (pallas_uniform_skip) still catches blocks the conservative
+    # pooled bounds miss. Bit-exact (strictly conservative in f32 with a
+    # 0.1 mm camera-z slack). See ops/pallas/fuse_kernel.py.
+    pallas_preclass: bool = True
     # splat probe/renderer compaction budgets: blocks holding surface, and
     # visible surface voxels kept for the z-buffer scatters. Scatter cost
     # scales with these STATIC sizes (measured 256^3 step: 326 ms at
@@ -120,16 +129,29 @@ class FusionConfig:
     # many z-nearest visible voxels per 128-lane row (replaces a ~15 ms
     # nonzero with a ~5 ms lane sort at the 256^3 budgets — measured
     # 55 -> 34 ms/frame for the full fusion step). 0 = exact nonzero
-    # compaction; None (default) resolves to 48 for fine volumes
+    # compaction; None (default) resolves to 24 for fine volumes
     # (>= 256^3) and 0 for coarse ones, where shell thickness in voxel
-    # units can exceed any per-row cap. Clipped voxels are counted into
-    # the overflow/miss channel. See fusion/splat.py.
+    # units can exceed any per-row cap. The packed-key scatter-min is the
+    # splat wall and scales with max_rows*cap (cap sweep, 512^3 scene:
+    # 48 -> 25.6 ms, 24 -> 15.7 ms at winner-agreement 0.9998 with only
+    # z-order-redundant entries clipped; 16 -> 12.8 ms but agreement
+    # drops to 0.970). Clipped entries are counted into the separate
+    # `clip` channel, NOT the miss channel. See fusion/splat.py.
     splat_row_cap: int | None = None
+    # association probe source: "splat" projects the stored surface shell
+    # (a full scatter-min pass, ~15 ms at 512^3 — semantics closest to
+    # the reference's TSDF march, tsdf.cu:72-135); "depth" back-projects
+    # the live depth map straight to voxel ids (~1 ms dense math, no
+    # budgets) — in a static scene the fused zero crossing sits at the
+    # observed depth, so both read the same ±mu histogram band. The
+    # histogram fetch and association are identical. See
+    # fusion/splat.py:_depth_probe_jit.
+    probe_mode: str = "splat"
 
     def __post_init__(self):
         if self.splat_row_cap is None:
             object.__setattr__(self, "splat_row_cap",
-                               48 if min(self.vol_dim) >= 256 else 0)
+                               24 if min(self.vol_dim) >= 256 else 0)
     # fuse pass B budget: blocks whose projected footprint exceeds the
     # rect (very-near-camera or camera-plane-straddling blocks) are fused
     # in a second full-image-rect pass over a compacted subset of at most

@@ -187,7 +187,8 @@ def _pack_frame(depth, color, mask):
 
 def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
                    rect_h=RECT_H, rect_w=RECT_W, img_h=None, img_w=None,
-                   transposed: bool = False, rect_mid=None):
+                   transposed: bool = False, rect_mid=None,
+                   depth=None, depth_scale=1000.0, mu=None):
     """Rect origin (a0, b0) per block from the 8 projected corners (XLA,
     dense), where a is the DMA sublane dim (8-aligned starts) and b the
     lane dim (128-aligned starts). Normal orientation: (a, b) = (v, u)
@@ -208,6 +209,8 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     vmax = jnp.full((nbx, nby, nbz), -np.inf, jnp.float32)
     any_front = jnp.zeros((nbx, nby, nbz), bool)
     all_front = jnp.ones((nbx, nby, nbz), bool)
+    zmin = jnp.full((nbx, nby, nbz), np.inf, jnp.float32)
+    zmax = jnp.full((nbx, nby, nbz), -np.inf, jnp.float32)
     for cx in (0.0, BX):
         for cy in (0.0, BY):
             for cz in (0.0, BZ):
@@ -229,6 +232,8 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
                 vmax = jnp.maximum(vmax, jnp.where(czz > 1e-6, v, -np.inf))
                 any_front = any_front | (czz > 1e-6)
                 all_front = all_front & (czz > 1e-6)
+                zmin = jnp.minimum(zmin, czz)
+                zmax = jnp.maximum(zmax, czz)
     if img_h is None:
         img_h, img_w = H, W
     if transposed:
@@ -278,21 +283,83 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     overlap = ((umax >= 0) & (umin <= img_w - 1)
                & (vmax >= 0) & (vmin <= img_h - 1))
     vis = all_front & overlap & ~too_big
+
+    # ---- XLA-side free/behind pre-classification (cfg.pallas_preclass):
+    # the kernel's uniform-block bounds, evaluated from a 32x32-pooled
+    # depth min/max pyramid + the corner camera-z range, BEFORE launch.
+    # Pre-classified blocks never DMA their rect or histogram (the DMA
+    # traffic, not the lookup, is what the in-kernel check cannot save).
+    # Conservative by construction: the pooled tile cover is a superset
+    # of the true footprint (d_min_pool <= d_min_true) and the corner box
+    # strictly contains all voxel centers; f32 rounding differences
+    # between the kernel's per-voxel pz association and the corner bound
+    # are absorbed by a 0.1 mm slack. free => every voxel valid with
+    # dn == 1 (closed-form update, no rect); behind => every voxel
+    # invalid (identity). Straddlers (partial_behind) are never
+    # classified — the front-corner hull does not bound their interior
+    # projections.
+    free = jnp.zeros_like(vis)
+    behind = jnp.zeros_like(vis)
+    if depth is not None and mu is not None:
+        T = 32
+        ih, iw = depth.shape
+        ph, pw = (-ih) % T, (-iw) % T
+        d_f = depth.astype(jnp.float32)
+        dmin_p = jnp.pad(d_f, ((0, ph), (0, pw)), constant_values=1e9)
+        dmax_p = jnp.pad(d_f, ((0, ph), (0, pw)), constant_values=0.0)
+        Hg, Wg = (ih + ph) // T, (iw + pw) // T
+        dmin_p = dmin_p.reshape(Hg, T, Wg, T).min(axis=(1, 3))
+        dmax_p = dmax_p.reshape(Hg, T, Wg, T).max(axis=(1, 3))
+        fin = (jnp.isfinite(umin) & jnp.isfinite(vmin)
+               & jnp.isfinite(umax) & jnp.isfinite(vmax))
+        u0c = jnp.clip(jnp.floor(jnp.where(fin, umin, 0.0) / T),
+                       0, Wg - 1).astype(jnp.int32).reshape(-1)
+        u1c = jnp.clip(jnp.floor(jnp.where(fin, umax, 0.0) / T),
+                       0, Wg - 1).astype(jnp.int32).reshape(-1)
+        v0c = jnp.clip(jnp.floor(jnp.where(fin, vmin, 0.0) / T),
+                       0, Hg - 1).astype(jnp.int32).reshape(-1)
+        v1c = jnp.clip(jnp.floor(jnp.where(fin, vmax, 0.0) / T),
+                       0, Hg - 1).astype(jnp.int32).reshape(-1)
+        gi = jnp.arange(Hg, dtype=jnp.int32)[None, :, None]
+        gj = jnp.arange(Wg, dtype=jnp.int32)[None, None, :]
+        m = ((gi >= v0c[:, None, None]) & (gi <= v1c[:, None, None])
+             & (gj >= u0c[:, None, None]) & (gj <= u1c[:, None, None]))
+        sh = (nbx, nby, nbz)
+        d_min = jnp.min(jnp.where(m, dmin_p[None], 1e9),
+                        axis=(1, 2)).reshape(sh)
+        d_max = jnp.max(jnp.where(m, dmax_p[None], 0.0),
+                        axis=(1, 2)).reshape(sh)
+        zlo, zhi = zmin - 1e-4, zmax + 1e-4
+        bbox_in = (fin & (umin >= 0) & (umax <= img_w - 1)
+                   & (vmin >= 0) & (vmax <= img_h - 1))
+        free = (all_front & bbox_in & (d_min > 0)
+                & (d_min / depth_scale - zhi >= mu))
+        behind = (all_front & overlap
+                  & (d_max / depth_scale - zlo <= -mu))
+        vis = vis & ~behind & ~free
+
     if rect_mid is not None:
         am0, bm0, too_big_m = rect_fit(*rect_mid)
-        flag_mid = all_front & overlap & too_big & ~too_big_m
+        flag_mid = (all_front & overlap & too_big & ~too_big_m
+                    & ~free & ~behind)
         flag_full = any_front & (partial_behind
-                                 | (overlap & too_big & too_big_m))
+                                 | (overlap & too_big & too_big_m
+                                    & ~free & ~behind))
         origins_mid = jnp.stack(
             [am0.reshape(-1), bm0.reshape(-1)], axis=-1).reshape(-1)
     else:
         flag_mid = jnp.zeros_like(vis)
-        flag_full = any_front & (partial_behind | (overlap & too_big))
+        flag_full = any_front & (partial_behind
+                                 | (overlap & too_big & ~free & ~behind))
         origins_mid = None
+    # vis codes: 0 skip (invisible/behind), 1 full lookup, 2 free
+    # closed-form (needs no rect, so free blocks resolve in pass A even
+    # when their footprint exceeds every rect tier)
+    vis_code = jnp.where(free, 2, vis.astype(jnp.int32))
     # flat [NB*3] (a0, b0, vis): a 2D SMEM operand would be lane-padded to
     # 128 wide and blow the 1MB SMEM budget
     origins = jnp.stack([a0.reshape(-1), b0.reshape(-1),
-                         vis.reshape(-1).astype(jnp.int32)],
+                         vis_code.reshape(-1)],
                         axis=-1).reshape(-1)
     return (origins, flag_mid.reshape(-1), flag_full.reshape(-1),
             origins_mid)
@@ -509,12 +576,25 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
         @pl.when(origins_ref[blk * ostride + 2] == 0)
         def _():
-            # block invisible this frame: every voxel is invalid,
-            # the update is the identity — skip DMA/MXU entirely
+            # block invisible this frame (or pre-classified behind):
+            # every voxel is invalid, the update is the identity — skip
+            # DMA/MXU entirely
             diff_out[g] = diff_ref[g]
             colorpk_out[g] = colorpk_ref[g]
             wt_out[g] = wt_ref[g]
             if not hist_hbm:   # in-place HBM alias keeps content
+                hist_out[g] = hist_ref[g]
+
+        @pl.when(origins_ref[blk * ostride + 2] == 2)
+        def _():
+            # pre-classified FREE (XLA pooled-depth bounds): every voxel
+            # valid with dn == 1 — closed-form update, no rect or hist
+            # DMA ever started for this block
+            wt = wt_ref[g].astype(jnp.float32)
+            diff_out[g] = (diff_ref[g] * wt + 1.0) / (wt + 1.0)
+            colorpk_out[g] = colorpk_ref[g]
+            wt_out[g] = wt_ref[g] + 1
+            if not hist_hbm:
                 hist_out[g] = hist_ref[g]
 
         @pl.when(origins_ref[blk * ostride + 2] == 1)
@@ -761,6 +841,9 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
 
     lookup = getattr(cfg, "pallas_lookup", "gather_t")
     rect_mid = getattr(cfg, "pallas_rect_mid", (192, 384))
+    preclass = getattr(cfg, "pallas_preclass", True)
+    cls_kw = (dict(depth=depth, depth_scale=cfg.depth_scale, mu=b.mu)
+              if preclass else {})
     pk1, pk2 = _pack_frame(depth, color, mask)
     if lookup == "gather_t":
         # transposed tables [W', H']: the 8-slack sublane alignment lands
@@ -772,7 +855,8 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         pk2 = jnp.pad(pk2.T, ((0, Hp - W), (0, Wp - H)))
         origins, flag_mid, flag_full, origins_mid = _block_origins(
             b, extrinsic2init, intrinsic, Hp, Wp, rect_h, rect_w,
-            img_h=H, img_w=W, transposed=True, rect_mid=rect_mid)
+            img_h=H, img_w=W, transposed=True, rect_mid=rect_mid,
+            **cls_kw)
     else:
         rect_h, rect_w = getattr(cfg, "pallas_rect", (RECT_H, RECT_W))
         # pad the packed tables so a clamped rect DMA is always in bounds
@@ -782,7 +866,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
             pk2 = jnp.pad(pk2, ((0, Hp - H), (0, Wp - W)))
         origins, flag_mid, flag_full, origins_mid = _block_origins(
             b, extrinsic2init, intrinsic, Hp, Wp, rect_h, rect_w,
-            rect_mid=rect_mid)
+            rect_mid=rect_mid, **cls_kw)
 
     E = extrinsic2init.astype(jnp.float32)
     Km = intrinsic.astype(jnp.float32)

@@ -142,7 +142,7 @@ def make_sharded_fusion_step(cfg, mesh: Mesh, axis: str = "data",
         def with_assoc(operand):
             stl, msk = operand
             M, m4 = pinhole_of_extrinsic(e2i, intrinsic)
-            zbuf, vid, ovf = _splat_zbuffer_arrays(
+            zbuf, vid, ovf, _clip = _splat_zbuffer_arrays(
                 stl.diff, stl.vol_start, stl.voxel, M, m4, H, W,
                 stl.nby, stl.nbz, max_blocks)
             Kb = stl.hist.shape[1] * 128 // 2048

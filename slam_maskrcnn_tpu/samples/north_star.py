@@ -37,7 +37,7 @@ import numpy as np
 from slam_maskrcnn_tpu.fusion.associate import (apply_relabel,
                                                 associate_instances)
 from slam_maskrcnn_tpu.fusion.splat import (_compact_shell, _shade,
-                                            _splat_from_rows,
+                                            _splat_from_rows, depth_probe,
                                             pinhole_of_orbit,
                                             probe_from_rows)
 from slam_maskrcnn_tpu.fusion.state import FusionConfig
@@ -95,8 +95,12 @@ def north_star_step_impl(model, params, anchors, nwin, state,
 
     def with_assoc(operand):
         st, msk = operand
-        probs, bm, ovf = probe_from_rows(rows, st.hist, e2i, intrinsic,
-                                         H, W, cfg)
+        if cfg.probe_mode == "depth":
+            probs, bm, ovf, _clip = depth_probe(st, depth, e2i, intrinsic,
+                                                H, W, cfg)
+        else:
+            probs, bm, ovf, _clip = probe_from_rows(rows, st.hist, e2i,
+                                                    intrinsic, H, W, cfg)
         rl, no = associate_instances(probs, bm, msk, st.n_obs, st.num_objs,
                                      cfg)
         return rl, no, ovf
@@ -120,11 +124,11 @@ def north_star_step_impl(model, params, anchors, nwin, state,
                               state.nby, state.nbz, cfg.splat_max_blocks,
                               cfg.splat_max_rows, cfg.splat_shell_band)
     M, m4 = pinhole_of_orbit(angle, dist, intrinsic)
-    zbuf, vid, _ = _splat_from_rows(rows, M, m4, H, W,
-                                    cfg.splat_max_blocks,
-                                    cfg.splat_max_rows,
-                                    cfg.splat_max_surface,
-                                    cfg.splat_row_cap, fill=True)
+    zbuf, vid, _, _ = _splat_from_rows(rows, M, m4, H, W,
+                                       cfg.splat_max_blocks,
+                                       cfg.splat_max_rows,
+                                       cfg.splat_max_surface,
+                                       cfg.splat_row_cap, fill=True)
     render = _shade(zbuf.reshape(H, W), vid.reshape(H, W), state.colorpk,
                     state.hist, render_mode)
     return state, render, mask_g, misses + overflow

@@ -73,7 +73,8 @@ def test_splat_probe_matches_march_probe():
     probs_m, bm_m = back_project_probe(state, e2i,
                                        jnp.asarray(np.linalg.inv(K4)),
                                        H, W, CFG)
-    probs_s, bm_s, ovf = splat_probe(b, e2i, jnp.asarray(K4), H, W, CFG)
+    probs_s, bm_s, ovf, clip = splat_probe(b, e2i, jnp.asarray(K4), H, W,
+                                           CFG)
     assert int(ovf) == 0
     pm = np.asarray(probs_m)
     ps = np.asarray(probs_s)
@@ -89,7 +90,7 @@ def test_splat_zbuffer_depth_plausible():
     state = _sphere_state(center=(0.0, 0.0, 1.0), radius=0.25)
     b = to_blocked(state, CFG)
     M, m4 = pinhole_of_extrinsic(jnp.eye(4), jnp.asarray(K4))
-    zbuf, vid, overflow = splat_zbuffer(b, M, m4, H, W)
+    zbuf, vid, overflow, _clip = splat_zbuffer(b, M, m4, H, W)
     z = np.asarray(zbuf).reshape(H, W)
     # raw zbuffer has holes (voxel spacing > pixel spacing); take the
     # neighborhood min around the center
@@ -105,8 +106,8 @@ def test_splat_row_budget_overflow_feeds_miss_channel():
     state = _sphere_state()
     b = to_blocked(state, CFG)
     M, m4 = pinhole_of_extrinsic(jnp.eye(4), jnp.asarray(K4))
-    _, _, ovf_ok = splat_zbuffer(b, M, m4, H, W, max_rows=4096)
-    _, _, ovf_tiny = splat_zbuffer(b, M, m4, H, W, max_rows=8)
+    _, _, ovf_ok, _ = splat_zbuffer(b, M, m4, H, W, max_rows=4096)
+    _, _, ovf_tiny, _ = splat_zbuffer(b, M, m4, H, W, max_rows=8)
     assert int(ovf_ok) == 0
     assert int(ovf_tiny) > 0
 
@@ -118,15 +119,60 @@ def test_splat_row_cap_mode_matches_exact():
     state = _sphere_state()
     b = to_blocked(state, CFG)
     M, m4 = pinhole_of_extrinsic(jnp.eye(4), jnp.asarray(K4))
-    z0, v0, ovf0 = splat_zbuffer(b, M, m4, H, W)
-    z1, v1, ovf1 = splat_zbuffer(b, M, m4, H, W, row_cap=128)
+    z0, v0, ovf0, clip0 = splat_zbuffer(b, M, m4, H, W)
+    z1, v1, ovf1, clip1 = splat_zbuffer(b, M, m4, H, W, row_cap=128)
     assert int(ovf1) == int(ovf0) == 0
+    assert int(clip0) == 0  # exact path never clips
     e0 = np.asarray(z0) > 1e30
     e1 = np.asarray(z1) > 1e30
     np.testing.assert_array_equal(e0, e1)
     near = np.abs(np.asarray(z0)[~e0] - np.asarray(z1)[~e1])
     assert near.max() < 2e-3  # one z quantum at the default budgets
     assert ((np.asarray(v0) >= 0) == (np.asarray(v1) >= 0)).all()
+
+
+def test_depth_probe_matches_splat_probe():
+    """probe_mode="depth" (live-depth back-projection) must agree with the
+    splat probe on association: in a static scene the fused zero crossing
+    sits at the observed depth, so both probes read the same ±mu
+    histogram band (fusion/splat.py:_depth_probe_jit)."""
+    from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
+    from slam_maskrcnn_tpu.fusion import SemanticFusion
+    from slam_maskrcnn_tpu.fusion.associate import associate_instances
+    from slam_maskrcnn_tpu.fusion.splat import depth_probe
+
+    Hs, Ws = 120, 160
+    Ks = make_intrinsic(130.0, 130.0, Ws / 2, Hs / 2)
+    cfg = FusionConfig(vol_dim=(64,) * 3, hist_dtype=jnp.uint16)
+    frames = make_sequence(default_scene(), Ks, Hs, Ws, n_frames=5)
+    f = SemanticFusion(Ks, cfg, backend="xla")
+    for fr in frames[:4]:
+        f.parse_frame(fr["depth"], fr["color"], fr["mask"],
+                      fr["extrinsic"], fr["mean_depth"])
+    b = to_blocked(f.dense_state(), cfg)
+    fr = frames[4]
+    E0i = np.linalg.inv(frames[0]["extrinsic"]).astype(np.float32)
+    e2i = jnp.asarray(fr["extrinsic"] @ E0i, jnp.float32)
+    ps, bs, _, _ = splat_probe(b, e2i, jnp.asarray(Ks), Hs, Ws, cfg)
+    pd, bd, ovf, clip = depth_probe(b, jnp.asarray(fr["depth"]), e2i,
+                                    jnp.asarray(Ks), Hs, Ws, cfg)
+    assert int(ovf) == 0 and int(clip) == 0  # depth path has no budgets
+    ps, pd = np.asarray(ps), np.asarray(pd)
+    # the two probes vote the same instance wherever both see surface
+    # (residual disagreement is instance-boundary pixels, where the two
+    # land one voxel apart; association aggregates over masks, below)
+    both = (ps.sum(-1) > 0) & (pd.sum(-1) > 0)
+    assert both.sum() > 500
+    assert (ps.argmax(-1) == pd.argmax(-1))[both].mean() > 0.95
+    assert (np.asarray(bs) == np.asarray(bd)).mean() > 0.99
+    # and the association outcome is identical
+    msk = jnp.asarray(fr["mask"])
+    rl_s, no_s = associate_instances(jnp.asarray(ps), bs, msk, b.n_obs,
+                                     b.num_objs, cfg)
+    rl_d, no_d = associate_instances(jnp.asarray(pd), bd, msk, b.n_obs,
+                                     b.num_objs, cfg)
+    np.testing.assert_array_equal(np.asarray(rl_s), np.asarray(rl_d))
+    assert int(no_s) == int(no_d)
 
 
 def test_orbit_renderer_matches_uncached():

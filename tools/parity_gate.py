@@ -1,22 +1,32 @@
-"""Per-round TPU parity gate (VERDICT r1 "next" #3).
+"""Per-round TPU parity gate (VERDICT r1 "next" #3; production configs r2 #5).
 
 Runs the SAME inputs through (a) the CPU jnp graph — exact top-k
-proposals, XLA-oracle fusion — and (b) the production TPU graph —
-``approx_max_k`` proposals, compiled Mosaic fuse/NMS/ROIAlign kernels,
-splat probe — and records their agreement. This is the check CI cannot
-do (tests/conftest.py forces CPU, where Pallas runs in interpret mode):
-a Mosaic-vs-interpret divergence or an approx-top-k regression shows up
-here as a changed artifact.
+proposals, XLA-oracle fusion, interpret-mode Pallas — and (b) the
+production TPU graph — ``approx_max_k`` proposals, compiled Mosaic
+fuse/NMS/ROIAlign kernels, splat probe — and records their agreement.
+This is the check CI cannot do (tests/conftest.py forces CPU, where
+Pallas runs in interpret mode): a Mosaic-vs-interpret divergence or an
+approx-top-k regression shows up here as a changed artifact.
+
+Gate sections (each a Mosaic-sensitive production path — CLAUDE.md's
+"CPU interpret does NOT catch these" list):
+
+  fusion          default config (u16 hist, default rects, per-call)
+  fusion_u8       u8 histogram mode (i8 vector ops are absent on the
+                  v5e VPU; the kernel computes in i32 and casts on store)
+  fusion_cascade  the 512^3 bench cascade rects (48,256)/(128,384) +
+                  near_block_budget 512, at a memory-feasible 128^3
+  fusion_scan     fuse_sequence_blocked — the lax.scan chunk dispatch
+  render          splat orbit render (instance + color): pixel-exact
+                  fraction TPU vs CPU at two angles
+  detect          per-image detection count delta, matched fraction at
+                  IoU 0.9, score MAD (CPU exact top-k vs TPU approx —
+                  the quantified platform-conditional semantics of
+                  models/proposal.py:36)
 
 Phase 1 spawns a CPU subprocess that writes golden outputs to a scratch
-dir; phase 2 (this process, on the TPU) reruns and compares. Output:
-one JSON file (default PARITY.json at the repo root) with:
-
-  fusion:  max |diff| delta, weight/hist/mask exact-equality, misses
-  detect:  per-image detection count delta, matched fraction at IoU 0.9,
-           score MAD over matched pairs (CPU exact top-k vs TPU approx —
-           the quantified platform-conditional semantics of
-           models/proposal.py:36)
+dir; phase 2 (this process, on the TPU) reruns and compares. Output: one
+JSON file (default PARITY.json at the repo root).
 
 Usage: python tools/parity_gate.py [--out PARITY.json] [--vol 64]
 """
@@ -40,14 +50,24 @@ import jax; jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, {repo!r})
 out_dir = {out_dir!r}
 import jax.numpy as jnp
-from parity_common import build_fusion_inputs, run_fusion, build_model, run_detect
+from parity_common import (FUSION_VARIANTS, run_fusion_variant, run_scan,
+                           run_render, run_detect)
 
-state_arrays, masks = run_fusion({vol})
-np.savez(out_dir + "/fusion_cpu.npz", **state_arrays, masks=masks)
+for name in FUSION_VARIANTS:
+    state_arrays, masks = run_fusion_variant(name, {vol})
+    np.savez(out_dir + f"/fusion_{{name}}_cpu.npz", **state_arrays,
+             masks=masks)
+    print("cpu golden:", name, flush=True)
+
+np.savez(out_dir + "/scan_cpu.npz", **run_scan({vol}))
+print("cpu golden: scan", flush=True)
+
+np.savez(out_dir + "/render_cpu.npz", **run_render({vol}))
+print("cpu golden: render", flush=True)
 
 dets = run_detect(out_dir)
 np.savez(out_dir + "/detect_cpu.npz", **dets)
-print("cpu golden written")
+print("cpu golden written", flush=True)
 """
 
 
@@ -61,25 +81,36 @@ import jax.numpy as jnp
 
 H, W = 240, 320
 
+# name -> FusionConfig overrides (vol_dim/hist_dtype resolved in-builder).
+# "cascade" runs the 512^3 bench kernel shape — three-tier rect cascade +
+# near-block budget — at a memory-feasible 128^3.
+FUSION_VARIANTS = {
+    "default": dict(),
+    "u8": dict(hist_dtype="uint8"),
+    "cascade": dict(vol=128, pallas_rect=(48, 256),
+                    pallas_rect_mid=(128, 384), near_block_budget=512),
+}
 
-def build_fusion_inputs(vol):
+
+def build_fusion_inputs(vol, **over):
     from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
     from slam_maskrcnn_tpu.fusion import FusionConfig
     from slam_maskrcnn_tpu.fusion.state import make_intrinsic
 
     K4 = make_intrinsic(260.0, 260.0, 160.0, 120.0)
-    cfg = FusionConfig(vol_dim=(vol,) * 3, hist_dtype=jnp.uint16)
+    vol = over.pop("vol", vol)
+    hist_dtype = getattr(jnp, over.pop("hist_dtype", "uint16"))
+    cfg = FusionConfig(vol_dim=(vol,) * 3, hist_dtype=hist_dtype, **over)
     frames = make_sequence(default_scene(), K4, H, W, n_frames=5)
     return K4, cfg, frames
 
 
-def run_fusion(vol):
+def run_fusion_variant(name, vol):
     """The production path: pallas backend (compiled on TPU, interpret on
     CPU) through the public SemanticFusion driver."""
     from slam_maskrcnn_tpu.fusion import SemanticFusion
-    from slam_maskrcnn_tpu.ops.pallas import fuse_kernel as fk
 
-    K4, cfg, frames = build_fusion_inputs(vol)
+    K4, cfg, frames = build_fusion_inputs(vol, **dict(FUSION_VARIANTS[name]))
     f = SemanticFusion(K4, cfg, backend="pallas", miss_check_every=0)
     masks = []
     for fr in frames:
@@ -92,6 +123,53 @@ def run_fusion(vol):
                  weight=np.asarray(st.weight), hist=np.asarray(st.hist),
                  misses=np.asarray(f.last_misses)),
             np.stack(masks))
+
+
+def run_scan(vol):
+    """fuse_sequence_blocked — the chunked lax.scan dispatch the 256^3
+    bench headline runs (fusion/pipeline.py). Global-id masks precomputed
+    so the scan sees the same inputs on both platforms."""
+    from slam_maskrcnn_tpu.fusion.pipeline import fuse_sequence_blocked
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+        init_blocked_from_first_frame)
+
+    K4, cfg, frames = build_fusion_inputs(vol)
+    state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
+                                          frames[0]["mean_depth"])
+    E0i = np.linalg.inv(frames[0]["extrinsic"]).astype(np.float32)
+    depths = jnp.stack([jnp.asarray(fr["depth"]) for fr in frames[1:]])
+    colors = jnp.stack([jnp.asarray(fr["color"]) for fr in frames[1:]])
+    masks = jnp.stack([jnp.asarray(fr["mask"]) for fr in frames[1:]])
+    es = jnp.stack([jnp.asarray((fr["extrinsic"] @ E0i).astype(np.float32))
+                    for fr in frames[1:]])
+    state, misses = fuse_sequence_blocked(state, depths, colors, masks, es,
+                                          jnp.asarray(K4), cfg)
+    return dict(diff=np.asarray(state.diff),
+                colorpk=np.asarray(state.colorpk),
+                weight=np.asarray(state.weight),
+                hist=np.asarray(state.hist),
+                misses=np.asarray(misses).reshape(-1))
+
+
+def run_render(vol):
+    """Splat orbit render images (the production viewer path) from the
+    default variant's fused state: instance + color at two angles."""
+    from slam_maskrcnn_tpu.fusion import SemanticFusion
+    from slam_maskrcnn_tpu.fusion.splat import splat_render_orbit
+
+    K4, cfg, frames = build_fusion_inputs(vol)
+    f = SemanticFusion(K4, cfg, backend="pallas", miss_check_every=0)
+    for fr in frames:
+        f.parse_frame(fr["depth"], fr["color"], fr["mask"],
+                      fr["extrinsic"], fr["mean_depth"])
+    Kj = jnp.asarray(K4)
+    out = {}
+    for mode in ("instance", "color"):
+        for angle in (0.1, 0.6):
+            img = splat_render_orbit(f.state, angle, f.mean_depth, Kj,
+                                     H, W, cfg, mode=mode)
+            out[f"{mode}_{angle}"] = np.asarray(img)
+    return out
 
 
 TRAINED = "/root/repo/weights/shapes_r2_f16.h5"
@@ -200,6 +278,22 @@ def match_detections(rois_a, cls_a, sc_a, rois_b, cls_b, sc_b, iou_thr=0.9):
     return matched, float(np.mean(mads)) if mads else 0.0
 
 
+def compare_state(cpu_npz, tpu_state, tpu_masks=None):
+    rep = {
+        "diff_max_delta": float(np.abs(tpu_state["diff"]
+                                       - cpu_npz["diff"]).max()),
+        "colorpk_max_delta": float(np.abs(tpu_state["colorpk"]
+                                          - cpu_npz["colorpk"]).max()),
+        "weight_equal": bool((tpu_state["weight"]
+                              == cpu_npz["weight"]).all()),
+        "hist_equal": bool((tpu_state["hist"] == cpu_npz["hist"]).all()),
+        "misses": int(np.asarray(tpu_state["misses"]).sum()),
+    }
+    if tpu_masks is not None:
+        rep["masks_equal"] = bool((tpu_masks == cpu_npz["masks"]).all())
+    return rep
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY.json"))
@@ -226,23 +320,34 @@ def main():
     import jax
     platform = jax.default_backend()
     print(f"[parity] phase 2: platform={platform}", flush=True)
-    from parity_common import run_detect, run_fusion
+    from parity_common import (FUSION_VARIANTS, run_detect,
+                               run_fusion_variant, run_render, run_scan)
 
     report = {"platform": platform, "vol": args.vol}
 
-    cpu_f = np.load(os.path.join(scratch, "fusion_cpu.npz"))
-    tpu_state, tpu_masks = run_fusion(args.vol)
-    report["fusion"] = {
-        "diff_max_delta": float(np.abs(tpu_state["diff"]
-                                       - cpu_f["diff"]).max()),
-        "colorpk_max_delta": float(np.abs(tpu_state["colorpk"]
-                                          - cpu_f["colorpk"]).max()),
-        "weight_equal": bool((tpu_state["weight"]
-                              == cpu_f["weight"]).all()),
-        "hist_equal": bool((tpu_state["hist"] == cpu_f["hist"]).all()),
-        "masks_equal": bool((tpu_masks == cpu_f["masks"]).all()),
-        "misses": int(tpu_state["misses"]),
-    }
+    for name in FUSION_VARIANTS:
+        cpu_f = np.load(os.path.join(scratch, f"fusion_{name}_cpu.npz"))
+        tpu_state, tpu_masks = run_fusion_variant(name, args.vol)
+        key = "fusion" if name == "default" else f"fusion_{name}"
+        report[key] = compare_state(cpu_f, tpu_state, tpu_masks)
+        print(f"[parity] {key}: {report[key]}", flush=True)
+
+    cpu_s = np.load(os.path.join(scratch, "scan_cpu.npz"))
+    report["fusion_scan"] = compare_state(cpu_s, run_scan(args.vol))
+    print(f"[parity] fusion_scan: {report['fusion_scan']}", flush=True)
+
+    cpu_r = np.load(os.path.join(scratch, "render_cpu.npz"))
+    tpu_r = run_render(args.vol)
+    rend = {}
+    for k, tpu_img in tpu_r.items():
+        cpu_img = cpu_r[k]
+        exact = float((tpu_img == cpu_img).all(-1).mean())
+        cov = float(((tpu_img.sum(-1) > 0)
+                     == (cpu_img.sum(-1) > 0)).mean())
+        rend[k] = {"exact_pixel_fraction": round(exact, 5),
+                   "coverage_agreement": round(cov, 5)}
+    report["render"] = rend
+    print(f"[parity] render: {rend}", flush=True)
 
     cpu_d = np.load(os.path.join(scratch, "detect_cpu.npz"))
     tpu_d = run_detect(scratch)
