@@ -180,11 +180,16 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
     model, variables = model_pack
     model.params = variables
     K4 = make_intrinsic(520.9, 521.0, 325.1, 249.7)
+    # probe_mode="depth": the live-depth association probe (~1 ms dense
+    # math vs ~15 ms splat pass at 512^3; association outcome identical
+    # on the goldens — tests/test_splat.py::test_depth_probe_matches_
+    # splat_probe, fusion/splat.py:_depth_probe_jit)
     cfg = FusionConfig(vol_dim=(512,) * 3, hist_dtype=jnp.uint16,
                        splat_max_blocks=8192,
                        splat_max_surface=1024 * 1024,
                        splat_max_rows=49152, near_block_budget=512,
-                       pallas_rect=(48, 256), pallas_rect_mid=(128, 384))
+                       pallas_rect=(48, 256), pallas_rect_mid=(128, 384),
+                       probe_mode="depth")
     frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
     state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
                                           frames[0]["mean_depth"])

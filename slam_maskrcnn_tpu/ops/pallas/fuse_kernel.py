@@ -1039,10 +1039,18 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                 miss_c[0, 0], jnp.maximum(n_flag - budget, 0))
 
     arrays = (new_diff, new_cpk, new_wt, new_hist)
-    BM = getattr(cfg, "mid_block_budget", 2048)
+    # Budgets clamp to NB: at most NB blocks can ever be flagged, and an
+    # oversized budget is disastrous on small volumes — the gathered
+    # [budget, ...] state copies ride the grid loop's carry, and under
+    # a multi-device shard_map the CPU interpret path cannot alias them
+    # (a 16-block dryrun shard paid 256 grid steps x 300 MB of carry
+    # copies per frame, ~280 s; clamped it is sub-second). NB is a
+    # multiple of GROUP=16, so the clamped budgets stay multiples of the
+    # pass group sizes (8 and 2).
+    BM = min(getattr(cfg, "mid_block_budget", 2048), NB)
     arrays, miss_m, over_m = compacted_pass(
         arrays, flag_mid, origins_mid, rect_mid, BM, 8)
-    B2 = getattr(cfg, "near_block_budget", 128)
+    B2 = min(getattr(cfg, "near_block_budget", 128), NB)
     arrays, miss_b, over_b = compacted_pass(
         arrays, flag_full, None, (fr_h, fr_w), B2, 2)
     new_diff, new_cpk, new_wt, new_hist = arrays
