@@ -189,7 +189,8 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
                        splat_max_surface=1024 * 1024,
                        splat_max_rows=49152, near_block_budget=512,
                        pallas_rect=(48, 256), pallas_rect_mid=(128, 384),
-                       probe_mode="depth")
+                       mid_block_budget=1024,
+                       probe_mode="depth", probe_stride=2)
     frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
     state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
                                           frames[0]["mean_depth"])
@@ -342,7 +343,8 @@ def main():
         fps512, miss512, percall512, pack = bench_fusion(
             512, 12, splat_max_blocks=8192, splat_max_surface=1024 * 1024,
             splat_max_rows=49152, near_block_budget=512,
-            pallas_rect=(48, 256), pallas_rect_mid=(128, 384))
+            pallas_rect=(48, 256), pallas_rect_mid=(128, 384),
+            mid_block_budget=1024)
         extra["fused_fps_512"] = round(fps512, 3)
         extra["rect_misses_512"] = miss512
         del pack

@@ -208,6 +208,8 @@ def fusion_step_blocked_impl(state, depth, color, mask, extrinsic2init,
         if cfg.probe_mode == "depth":
             probs, bm, ovf, _clip = depth_probe(st, depth, extrinsic2init,
                                                 intrinsic, H, W, cfg)
+            s = getattr(cfg, "probe_stride", 1)
+            msk = msk[::s, ::s]
         else:
             probs, bm, ovf, _clip = splat_probe(st, extrinsic2init,
                                                 intrinsic, H, W, cfg)

@@ -524,10 +524,12 @@ def splat_probe(b, extrinsic2init, intrinsic, H, W, cfg, max_blocks=None):
                             max_blocks=max_blocks)
 
 
-@partial(jax.jit, static_argnames=("nbx", "nby", "nbz", "H", "W"))
+@partial(jax.jit, static_argnames=("nbx", "nby", "nbz", "H", "W",
+                                   "stride"))
 def _depth_probe_jit(depth, hist, vol_start, voxel, extrinsic2init,
                      intrinsic, nbx: int, nby: int, nbz: int,
-                     H: int, W: int, thresh, depth_scale):
+                     H: int, W: int, thresh, depth_scale,
+                     stride: int = 1):
     """Depth-direct probe: per-pixel voxel id straight from the sensor
     depth, no splat pass.
 
@@ -540,13 +542,21 @@ def _depth_probe_jit(depth, hist, vol_start, voxel, extrinsic2init,
     the histogram fetch (_probe_decode) is shared. Trade: pixels with no
     depth return no votes, where the march could still hit stored
     surface — the same pixels the reference's depth-gated masks ignore
-    (``dmask.py`` depth_filter). Enabled by cfg.probe_mode="depth"."""
+    (``dmask.py`` depth_filter). Enabled by cfg.probe_mode="depth".
+
+    stride > 1 probes every stride-th pixel (association aggregates
+    per-mask SUMS over thousands of pixels, so a 2x subsample preserves
+    outcomes — asserted on the goldens in tests/test_splat.py — while
+    cutting the histogram fetch 4x); probs/box_mask come back at the
+    strided resolution, so pass the equally-strided masks to
+    associate_instances."""
     from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (BLOCK_VOX, BX, BY,
                                                           BZ)
-    d_m = depth.astype(jnp.float32) / depth_scale
+    d_m = depth[::stride, ::stride].astype(jnp.float32) / depth_scale
+    Hs, Ws = d_m.shape
     Kinv = jnp.linalg.inv(jnp.asarray(intrinsic, jnp.float32)[:3, :3])
-    u = jnp.arange(W, dtype=jnp.float32)[None, :]
-    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    u = (jnp.arange(Ws, dtype=jnp.float32) * stride)[None, :]
+    v = (jnp.arange(Hs, dtype=jnp.float32) * stride)[:, None]
     # camera-space point at the observed depth (z = d, not ray length:
     # the pinhole projects s = K p with u = s_x / s_z — see
     # pinhole_of_extrinsic — so p = d * K^-1 [u, v, 1])
@@ -572,7 +582,7 @@ def _depth_probe_jit(depth, hist, vol_start, voxel, extrinsic2init,
     blk = ((gxs // BX) * (nby * nbz) + (gys // BY) * nbz + (gzs // BZ))
     vlin = (gxs % BX) * (BY * BZ) + (gys % BY) * BZ + (gzs % BZ)
     vid = jnp.where(ok, blk * BLOCK_VOX + vlin, -1)
-    probs, box_mask = _probe_decode(vid.reshape(-1), hist, H, W, thresh)
+    probs, box_mask = _probe_decode(vid.reshape(-1), hist, Hs, Ws, thresh)
     zero = jnp.zeros((), jnp.int32)
     return probs, box_mask, zero, zero
 
@@ -580,11 +590,15 @@ def _depth_probe_jit(depth, hist, vol_start, voxel, extrinsic2init,
 def depth_probe(b, depth, extrinsic2init, intrinsic, H, W, cfg):
     """Probe-API twin of splat_probe fed by the live depth map (see
     _depth_probe_jit). Returns (probs, box_mask, overflow, clip) — the
-    depth path has no budgets, so both counters are 0."""
+    depth path has no budgets, so both counters are 0. With
+    cfg.probe_stride > 1 the returned images are strided; callers must
+    stride their masks to match (see probe_stride in FusionConfig)."""
+    stride = getattr(cfg, "probe_stride", 1)
     return _depth_probe_jit(depth, b.hist, b.vol_start, b.voxel,
                             extrinsic2init, intrinsic, b.nbx, b.nby, b.nbz,
                             H, W, jnp.asarray(cfg.box_mask_thresh),
-                            jnp.asarray(cfg.depth_scale, jnp.float32))
+                            jnp.asarray(cfg.depth_scale, jnp.float32),
+                            stride=stride)
 
 
 @partial(jax.jit, static_argnames=("max_blocks", "max_rows", "shell_band",

@@ -147,6 +147,11 @@ class FusionConfig:
     # histogram fetch and association are identical. See
     # fusion/splat.py:_depth_probe_jit.
     probe_mode: str = "splat"
+    # depth-probe pixel stride: association aggregates per-mask sums over
+    # thousands of pixels, so probing every 2nd pixel preserves outcomes
+    # (asserted on goldens) while cutting the histogram fetch + the
+    # association matmuls 4x. Only the depth probe honors it.
+    probe_stride: int = 1
 
     def __post_init__(self):
         if self.splat_row_cap is None:

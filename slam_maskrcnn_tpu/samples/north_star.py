@@ -98,6 +98,8 @@ def north_star_step_impl(model, params, anchors, nwin, state,
         if cfg.probe_mode == "depth":
             probs, bm, ovf, _clip = depth_probe(st, depth, e2i, intrinsic,
                                                 H, W, cfg)
+            s = getattr(cfg, "probe_stride", 1)
+            msk = msk[::s, ::s]
         else:
             probs, bm, ovf, _clip = probe_from_rows(rows, st.hist, e2i,
                                                     intrinsic, H, W, cfg)

@@ -98,6 +98,33 @@ def _detect_mask(ns, model, color_bgr, H, W):
     return f(model.params, color_bgr)
 
 
+def test_north_star_depth_probe_mode_runs_and_fuses_identically():
+    """The bench configuration (probe_mode="depth", probe_stride=2) must
+    produce the same fused state as the splat-probe step on a scene where
+    the two probes agree (tests/test_splat.py asserts the association
+    equality directly; this covers the north-star wiring — strided masks
+    into association, probe bypassing the shared shell)."""
+    model, K4, cfg, state, staged, dist = _setup()
+    cfg_d = FusionConfig(vol_dim=(64,) * 3, hist_dtype=jnp.uint16,
+                         probe_mode="depth", probe_stride=2)
+    ns_s = NorthStar(model, K4, cfg, 96, 128)
+    ns_d = NorthStar(model, K4, cfg_d, 96, 128)
+    st_s = jax.tree.map(lambda x: x.copy(), state)
+    st_d = jax.tree.map(lambda x: x.copy(), state)
+    for i, (d, c, e) in enumerate(staged):
+        st_s, _, mg_s, miss_s = ns_s.step(st_s, d, c, e, 0.01 * (i + 1),
+                                          dist)
+        st_d, render, mg_d, miss_d = ns_d.step(st_d, d, c, e,
+                                               0.01 * (i + 1), dist)
+        np.testing.assert_array_equal(np.asarray(mg_s), np.asarray(mg_d))
+    np.testing.assert_array_equal(np.asarray(st_s.weight),
+                                  np.asarray(st_d.weight))
+    np.testing.assert_array_equal(np.asarray(st_s.hist),
+                                  np.asarray(st_d.hist))
+    img = np.asarray(render)
+    assert img.shape == (96, 128, 3) and img.dtype == np.uint8
+
+
 def test_north_star_chunk_matches_percall():
     model, K4, cfg, state, staged, dist = _setup()
     ns = NorthStar(model, K4, cfg, 96, 128)

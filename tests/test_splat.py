@@ -173,6 +173,16 @@ def test_depth_probe_matches_splat_probe():
                                      b.num_objs, cfg)
     np.testing.assert_array_equal(np.asarray(rl_s), np.asarray(rl_d))
     assert int(no_s) == int(no_d)
+    # stride-2 probing (cfg.probe_stride): association outcome unchanged
+    cfg2 = FusionConfig(vol_dim=(64,) * 3, hist_dtype=jnp.uint16,
+                        probe_mode="depth", probe_stride=2)
+    p2, b2, _, _ = depth_probe(b, jnp.asarray(fr["depth"]), e2i,
+                               jnp.asarray(Ks), Hs, Ws, cfg2)
+    assert p2.shape == (Hs // 2, Ws // 2, p2.shape[-1])
+    rl_2, no_2 = associate_instances(p2, b2, msk[::2, ::2], b.n_obs,
+                                     b.num_objs, cfg2)
+    np.testing.assert_array_equal(np.asarray(rl_s), np.asarray(rl_2))
+    assert int(no_s) == int(no_2)
 
 
 def test_orbit_renderer_matches_uncached():

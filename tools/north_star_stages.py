@@ -90,8 +90,9 @@ def main():
                        splat_max_blocks=8192,
                        splat_max_surface=1024 * 1024, splat_max_rows=49152,
                        near_block_budget=512, pallas_rect=(48, 256),
-                       pallas_rect_mid=(128, 384),
-                       probe_mode=args.probe_mode)
+                       pallas_rect_mid=(128, 384), mid_block_budget=1024,
+                       probe_mode=args.probe_mode,
+                       probe_stride=2 if args.probe_mode == "depth" else 1)
     frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
     state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
                                           frames[0]["mean_depth"])
@@ -157,7 +158,8 @@ def main():
         probe_j = jax.jit(lambda dd, h, ee: _depth_probe_jit(
             dd, h, state.vol_start, state.voxel, ee, Kj, state.nbx,
             state.nby, state.nbz, H, W, jnp.asarray(cfg.box_mask_thresh),
-            jnp.asarray(cfg.depth_scale, jnp.float32))[0])
+            jnp.asarray(cfg.depth_scale, jnp.float32),
+            stride=cfg.probe_stride)[0])
         table["probe"] = timeit("probe(depth, incl decode)", probe_j, d,
                                 state.hist, e)
         probs = probe_j(d, state.hist, e)
@@ -179,11 +181,12 @@ def main():
                                        state.hist)
         probs = dec_j(vid, state.hist)
 
-    # ---- associate ----
+    # ---- associate (masks strided to the probe grid) ----
+    s = cfg.probe_stride if args.probe_mode == "depth" else 1
     bm = probs > cfg.box_mask_thresh
     assoc_j = jax.jit(lambda p, b, mk: associate_instances(
         p, b, mk, state.n_obs, state.num_objs, cfg)[0])
-    table["assoc"] = timeit("assoc", assoc_j, probs, bm, m)
+    table["assoc"] = timeit("assoc", assoc_j, probs, bm, m[::s, ::s])
 
     # ---- render (orbit splat + shade) ----
     def render_fn(ang, rows_, cpk, h):
