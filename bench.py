@@ -216,6 +216,28 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
     colors = jnp.stack([staged[i % 3][1] for i in range(n_frames)])
     es = jnp.stack([staged[i % 3][2] for i in range(n_frames)])
     angles = jnp.asarray(np.arange(n_frames, dtype=np.float32) * 0.01)
+
+    # headline form: the batched chunk — detect hoisted out of the scan
+    # as ONE model apply at batch n_frames (detect_mask_batched_impl;
+    # measured detect/frame 26.2 -> 13.6 ms going batch 1 -> 6), fuse +
+    # render scanned over the precomputed masks. Same latency class as
+    # the chunk itself (holds n_frames before fusing).
+    state, renders, masks_g, misses = ns.run_chunk_batched(
+        state, depths, colors, es, angles, dist)
+    _ = float(jnp.sum(state.weight))
+    best_dt = float("inf")
+    for _i in range(3):
+        t0 = time.time()
+        state, renders, masks_g, misses = ns.run_chunk_batched(
+            state, depths, colors, es, angles, dist)
+        chk = (float(jnp.sum(state.weight)) + float(jnp.sum(renders))
+               + float(jnp.sum(masks_g)))
+        best_dt = min(best_dt, time.time() - t0)
+    batched_fps = n_frames / best_dt
+    miss_total = int(jnp.sum(misses))
+
+    # per-frame-detect chunk (the scan with detect inside — the form a
+    # strict one-frame-latency pipeline would scan), kept as a secondary
     state, renders, masks_g, misses = ns.run_chunk(state, depths, colors,
                                                    es, angles, dist)
     _ = float(jnp.sum(state.weight))
@@ -227,7 +249,9 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
         chk = (float(jnp.sum(state.weight)) + float(jnp.sum(renders))
                + float(jnp.sum(masks_g)))
         best_dt = min(best_dt, time.time() - t0)
-    return (n_frames / best_dt, percall_fps, int(jnp.sum(misses)))
+    scan_fps = n_frames / best_dt
+    return (batched_fps, scan_fps, percall_fps,
+            max(miss_total, int(jnp.sum(misses))))
 
 
 def bench_e2e(model_pack, n_frames=16, H=480, W=640):
@@ -377,7 +401,9 @@ def main():
     ns_fps = None
     try:
         if model_pack is not None:
-            ns_fps, ns_percall, ns_miss = bench_north_star(model_pack)
+            ns_fps, ns_scan, ns_percall, ns_miss = bench_north_star(
+                model_pack)
+            extra["north_star_scan_fps"] = round(ns_scan, 2)
             extra["north_star_percall_fps"] = round(ns_percall, 2)
             extra["north_star_misses"] = ns_miss
             # stage table (ms/frame at the north-star configuration):
@@ -385,12 +411,16 @@ def main():
             # from its chunked row, render = the remainder (the in-loop
             # render shares the probe's shell compaction)
             if "fused_fps_512" in extra:
+                # stage arithmetic on the SCAN form (detect inside the
+                # loop, so detect_ms applies); the batched headline's
+                # detect slice is smaller (see tools/north_star_stages.py
+                # for the measured per-stage table)
                 fuse_ms = 1000.0 / extra["fused_fps_512"]
                 extra["ns_stage_ms"] = {
                     "detect": extra.get("detect_ms"),
                     "fuse_512": round(fuse_ms, 1),
                     "render_rest": round(
-                        1000.0 / ns_fps - fuse_ms
+                        1000.0 / ns_scan - fuse_ms
                         - (extra.get("detect_ms") or 0.0), 1),
                 }
     except Exception:

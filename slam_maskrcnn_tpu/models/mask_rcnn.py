@@ -93,17 +93,23 @@ class MaskRCNNModule(nn.Module):
             rpn_probs, rpn_bbox, anchors, self.proposal_count,
             self.rpn_nms_threshold, self.pre_nms_limit, self.rpn_bbox_std)
 
-        # inference uses the backend-dispatched ROIAlign (Pallas on TPU);
-        # the training paths below keep the jnp/VJP-capable version
-        roi_align = lambda feats, boxes, pool: pyramid_roi_align_auto(
-            feats, boxes, pool, self.image_shape)
+        # inference uses the backend-dispatched ROIAlign (Pallas on TPU).
+        # The Pallas call is looped over the (static) batch instead of
+        # vmapped: Pallas auto-batching gives the kernel's 1-D SMEM
+        # operands a [B, n] block shape that Mosaic rejects for B > 1,
+        # and the kernel is one big fused program per image anyway — the
+        # batch>1 amortization win lives in the SMALL XLA ops around it,
+        # which stay under vmap (batched detect: the north-star chunk
+        # hoists detect out of its scan at B=chunk).
+        def roi_align_batched(feats, boxes, pool):
+            per = [pyramid_roi_align_auto(tuple(f[b] for f in feats),
+                                          boxes[b], pool, self.image_shape)
+                   for b in range(boxes.shape[0])]
+            return per[0][None] if len(per) == 1 else jnp.stack(per)
 
-        def heads_per_image(feats, rois):
-            pooled = roi_align(feats, rois, self.pool_size)
-            return self.classifier(pooled, train)
-
-        logits, probs, bbox = jax.vmap(heads_per_image, in_axes=(0, 0))(
-            mrcnn_feats, proposals)
+        pooled = roi_align_batched(mrcnn_feats, proposals, self.pool_size)
+        logits, probs, bbox = jax.vmap(
+            lambda p: self.classifier(p, train))(pooled)
 
         detections, det_valid = detection_layer(
             proposals, probs, bbox, windows,
@@ -112,12 +118,9 @@ class MaskRCNNModule(nn.Module):
             nms_threshold=self.detection_nms_threshold,
             bbox_std=self.bbox_std)
 
-        def mask_per_image(feats, boxes):
-            pooled = roi_align(feats, boxes, self.mask_pool_size)
-            return self.mask_head(pooled, train)
-
-        masks = jax.vmap(mask_per_image, in_axes=(0, 0))(
-            mrcnn_feats, detections[..., :4])
+        mpooled = roi_align_batched(mrcnn_feats, detections[..., :4],
+                                    self.mask_pool_size)
+        masks = jax.vmap(lambda p: self.mask_head(p, train))(mpooled)
         # select each detection's own class mask on device: shipping the
         # full [B, D, 28, 28, C] stack to the host costs ~25 MB/frame at
         # C=81 (the dominant latency through a remote device link)

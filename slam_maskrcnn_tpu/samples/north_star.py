@@ -67,27 +67,55 @@ def device_mold_geometry(model_config, H: int, W: int):
     return rh, rw, top, left, mh, mw, nwin
 
 
-def north_star_step_impl(model, params, anchors, nwin, state,
-                         depth, color_bgr, e2i, intrinsic, angle, dist,
-                         cfg: FusionConfig, H: int, W: int,
-                         geom, mean_pixel,
-                         share_shell: bool = True,
-                         render_mode: str = "instance"):
-    """One full north-star frame (scan-able, all static shapes).
-
-    Returns (new_state, render [H, W, 3] u8, mask_g [H, W], misses)."""
+def detect_mask_impl(model, params, anchors, nwin, color_bgr,
+                     H: int, W: int, geom, mean_pixel):
+    """Device molding + Mask R-CNN + label-encode for ONE frame: the
+    detect side of the north-star step (stage 1 of the reference,
+    ``mask_process.py:97-105`` + ``dmask.py:47-59``, fused on device)."""
     rh, rw, top, left, mh, mw = geom
-
-    # ---- detect + device label-encode (only the raw u8 frame came up) ----
     rgb = color_bgr[..., ::-1].astype(jnp.float32)
     img = jax.image.resize(rgb, (rh, rw, 3), method="bilinear")
     img = jnp.pad(img, ((top, mh - rh - top), (left, mw - rw - left),
                         (0, 0)))
     molded = (img - jnp.asarray(mean_pixel, jnp.float32))[None]
     out = model.module.apply(params, molded, anchors, nwin)
-    mask = label_masks_device(out["detections"][0], out["masks"][0],
+    return label_masks_device(out["detections"][0], out["masks"][0],
                               nwin[0], (H, W), min_area=2000)
 
+
+def detect_mask_batched_impl(model, params, anchors, nwin, colors_bgr,
+                             H: int, W: int, geom, mean_pixel):
+    """Batched twin of detect_mask_impl over a frame stack [N, H, W, 3].
+
+    One model apply at batch N amortizes the proposal stage's serialized
+    small-op schedule floor (~20 ms/dispatch regardless of batch,
+    PERFORMANCE.md "the ~20 ms schedule floor") across the chunk — the
+    backbone/heads math is batch-linear on the MXU, so per-frame detect
+    cost approaches (floor/N + compute)."""
+    rh, rw, top, left, mh, mw = geom
+    N = colors_bgr.shape[0]
+    rgb = colors_bgr[..., ::-1].astype(jnp.float32)
+    img = jax.vmap(lambda f: jax.image.resize(f, (rh, rw, 3),
+                                              method="bilinear"))(rgb)
+    img = jnp.pad(img, ((0, 0), (top, mh - rh - top),
+                        (left, mw - rw - left), (0, 0)))
+    molded = img - jnp.asarray(mean_pixel, jnp.float32)
+    nwin_n = jnp.broadcast_to(nwin, (N, 4))
+    out = model.module.apply(params, molded, anchors, nwin_n)
+    return jax.vmap(
+        lambda d, m: label_masks_device(d, m, nwin[0], (H, W),
+                                        min_area=2000))(out["detections"],
+                                                        out["masks"])
+
+
+def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
+                          angle, dist, cfg: FusionConfig, H: int, W: int,
+                          share_shell: bool = True,
+                          render_mode: str = "instance"):
+    """Fusion side of the north-star frame, detect already done: probe ->
+    associate -> relabel -> 512^3 blocked fuse -> in-loop splat render.
+
+    Returns (new_state, render [H, W, 3] u8, mask_g [H, W], misses)."""
     # ---- shell compaction once, shared probe <-> render ----
     rows = _compact_shell(state.diff, state.vol_start, state.voxel,
                           state.nby, state.nbz, cfg.splat_max_blocks,
@@ -136,6 +164,22 @@ def north_star_step_impl(model, params, anchors, nwin, state,
     return state, render, mask_g, misses + overflow
 
 
+def north_star_step_impl(model, params, anchors, nwin, state,
+                         depth, color_bgr, e2i, intrinsic, angle, dist,
+                         cfg: FusionConfig, H: int, W: int,
+                         geom, mean_pixel,
+                         share_shell: bool = True,
+                         render_mode: str = "instance"):
+    """One full north-star frame (scan-able, all static shapes).
+
+    Returns (new_state, render [H, W, 3] u8, mask_g [H, W], misses)."""
+    mask = detect_mask_impl(model, params, anchors, nwin, color_bgr,
+                            H, W, geom, mean_pixel)
+    return fuse_render_step_impl(state, mask, depth, color_bgr, e2i,
+                                 intrinsic, angle, dist, cfg, H, W,
+                                 share_shell, render_mode)
+
+
 class NorthStar:
     """Driver owning the jitted per-frame step and the scan chunk form.
 
@@ -175,6 +219,29 @@ class NorthStar:
 
         self._chunk = jax.jit(chunk, donate_argnums=(3,))
 
+        def chunk_batched(params, anchors, nwin, state, depths, colors, es,
+                          K4, angles, dist):
+            # detect ALL chunk frames in ONE batched model apply (detect
+            # has no dependence on the fusion state, so hoisting it out of
+            # the scan is semantics-preserving), then scan the state-
+            # dependent fuse+render over the precomputed masks
+            masks = detect_mask_batched_impl(model, params, anchors,
+                                             nwin, colors, H, W,
+                                             self.geom, self.mean_pixel)
+
+            def body(st, fr):
+                d, c, msk, e, a = fr
+                st, render, mask_g, miss = fuse_render_step_impl(
+                    st, msk, d, c, e, K4, a, dist, cfg, H, W,
+                    share_shell, render_mode)
+                return st, (render, mask_g, miss)
+
+            state, (renders, masks_g, misses) = jax.lax.scan(
+                body, state, (depths, colors, masks, es, angles))
+            return state, renders, masks_g, misses
+
+        self._chunk_batched = jax.jit(chunk_batched, donate_argnums=(3,))
+
     def step(self, state, depth, color_bgr, e2i, angle, dist):
         return self._step(self.model.params, self.anchors, self.nwin,
                           state, jnp.asarray(depth), jnp.asarray(color_bgr),
@@ -190,3 +257,16 @@ class NorthStar:
         return self._chunk(self.model.params, self.anchors, self.nwin,
                            state, depths, colors, es, self.intrinsic,
                            angles, jnp.asarray(dist, jnp.float32))
+
+    def run_chunk_batched(self, state, depths, colors, es, angles, dist):
+        """run_chunk with detect hoisted out of the scan as ONE batched
+        model apply over the chunk's N frames (see
+        detect_mask_batched_impl): identical outputs, but the detect
+        schedule floor is paid once per chunk instead of once per frame.
+        Adds N frames of latency (a live loop holds frames until the
+        chunk fills) — the same throughput-vs-latency trade as run_chunk
+        itself."""
+        return self._chunk_batched(self.model.params, self.anchors,
+                                   self.nwin, state, depths, colors, es,
+                                   self.intrinsic, angles,
+                                   jnp.asarray(dist, jnp.float32))

@@ -150,3 +150,25 @@ def test_north_star_chunk_matches_percall():
                                   np.asarray(state_b.hist))
     for i, r in enumerate(renders):
         np.testing.assert_array_equal(r, np.asarray(renders_b[i]))
+
+    # the batched-detect chunk (detect hoisted out of the scan as one
+    # model apply): hoisting itself is semantics-preserving (detect has
+    # no state dependence), but XLA lowers batch-N convs differently
+    # from batch-1, so the model forward is not bit-identical — a few
+    # mask BORDER pixels can flip (measured: 4 of 8.4M hist entries,
+    # off by one vote). Assert near-equality with tight bounds.
+    state_c, renders_c, masks_c, misses_c = ns.run_chunk_batched(
+        jax.tree.map(lambda x: x.copy(), state), depths, colors, es,
+        angles, dist)
+    np.testing.assert_array_equal(np.asarray(state_a.weight),
+                                  np.asarray(state_c.weight))
+    hist_a = np.asarray(state_a.hist).astype(np.int64)
+    hist_c = np.asarray(state_c.hist).astype(np.int64)
+    n_diff = int((hist_a != hist_c).sum())
+    assert n_diff <= hist_a.size * 1e-4, n_diff
+    assert int(np.abs(hist_a - hist_c).max()) <= len(staged)
+    mb, mc = np.asarray(masks_b), np.asarray(masks_c)
+    assert (mb != mc).mean() <= 1e-3, (mb != mc).mean()
+    for i, r in enumerate(renders):
+        rc_ = np.asarray(renders_c[i])
+        assert (r != rc_).mean() <= 2e-3, (r != rc_).mean()
