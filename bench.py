@@ -190,7 +190,11 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
                        splat_max_rows=49152, near_block_budget=512,
                        pallas_rect=(48, 256), pallas_rect_mid=(128, 384),
                        mid_block_budget=1024,
-                       probe_mode="depth", probe_stride=2)
+                       probe_mode="depth", probe_stride=2,
+                       # recompact the render shell every 4 chunk frames
+                       # (geometry-only staleness; state/mask outcomes
+                       # identical — tests/test_north_star.py)
+                       shell_refresh_every=4)
     frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
     state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
                                           frames[0]["mean_depth"])
@@ -363,12 +367,17 @@ def main():
     try:
         # surface area and near-block count scale ~4x from 256^3; block
         # footprints halve, so the rect cascade tightens one notch
-        # (sweep: PERFORMANCE.md — (48,256)/(128,384) = 10.0 fps misses 0)
+        # (sweep: PERFORMANCE.md — (48,256)/(128,384), misses 0; (32,256)
+        # loses the zero-miss contract). probe_mode="depth" is the
+        # north-star production config at this volume (association
+        # outcome identical on goldens, ~14 ms cheaper than the splat
+        # probe); the 256^3 row above keeps the reference-faithful splat
+        # probe.
         fps512, miss512, percall512, pack = bench_fusion(
             512, 12, splat_max_blocks=8192, splat_max_surface=1024 * 1024,
             splat_max_rows=49152, near_block_budget=512,
             pallas_rect=(48, 256), pallas_rect_mid=(128, 384),
-            mid_block_budget=1024)
+            mid_block_budget=1024, probe_mode="depth", probe_stride=2)
         extra["fused_fps_512"] = round(fps512, 3)
         extra["rect_misses_512"] = miss512
         del pack

@@ -109,6 +109,30 @@ class FusionConfig:
     # pooled bounds miss. Bit-exact (strictly conservative in f32 with a
     # 0.1 mm camera-z slack). See ops/pallas/fuse_kernel.py.
     pallas_preclass: bool = True
+    # Sparse main pass (the 512^3 grid lever): with pre-classification on,
+    # MOST blocks are identity (invisible/behind — 82% at the 512^3 bench
+    # scene) — yet the dense grid still streams every block's
+    # diff/color/weight through VMEM and pays NB/GROUP grid steps
+    # (measured: 12.8 ms of a 31.6 ms frame with ZERO visible blocks).
+    # Sparse mode gathers only the non-identity blocks (full-lookup +
+    # closed-form free) into one compacted pass — histogram kept in HBM
+    # via gated true-id DMA — and never touches identity blocks. Blocks
+    # beyond vis_block_budget count into the miss channel (whole blocks),
+    # the same contract as the escalation budgets. Best at >= 512^3;
+    # at 256^3 the dense grid is only ~512 steps and the gather/nonzero
+    # overhead roughly cancels the win. See ops/pallas/fuse_kernel.py.
+    pallas_sparse: bool = False
+    vis_block_budget: int = 16384
+    # State (diff/colorpk/weight) HBM-resident with true-id manual DMA —
+    # the same scheme the histogram already uses; bytes move only for
+    # non-identity blocks (free: diff+weight; full: all three). Measured:
+    # on the DENSE grid it is ~3 ms SLOWER at 512^3 (per-block commit
+    # waits lose to BlockSpec's pipelined streaming, and the zero-visible
+    # floor turned out to be fori-loop visit overhead, not streaming) —
+    # its win is inside the SPARSE compacted pass, where it replaces a
+    # 16 ms XLA gather/scatter of block state with ~0. Pair it with
+    # pallas_sparse.
+    pallas_state_hbm: bool = False
     # splat probe/renderer compaction budgets: blocks holding surface, and
     # visible surface voxels kept for the z-buffer scatters. Scatter cost
     # scales with these STATIC sizes (measured 256^3 step: 326 ms at
@@ -152,6 +176,13 @@ class FusionConfig:
     # (asserted on goldens) while cutting the histogram fetch + the
     # association matmuls 4x. Only the depth probe honors it.
     probe_stride: int = 1
+    # North-star chunk: recompact the render's surface shell every N
+    # frames instead of every frame (the ~7 ms _compact_shell pass feeds
+    # ONLY the in-loop render when probe_mode="depth"; shading still
+    # reads the CURRENT color/histogram through the carried voxel ids, so
+    # staleness is confined to shell geometry — the same trade the
+    # share_shell=True step already makes for one frame). 1 = every frame.
+    shell_refresh_every: int = 1
 
     def __post_init__(self):
         if self.splat_row_cap is None:

@@ -476,11 +476,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  diff_out, colorpk_out, wt_out, hist_out,   # VMEM out
                  miss_ref,     # SMEM out [1, 1] i32
                  rect12, sems, hist_buf, hsem,  # scratch
+                 dbuf, cbuf, wbuf, ssem,        # state_hbm staging slots
                  *, K: int, H: int, W: int, nby: int, nbz: int,
                  rect_h: int, rect_w: int,
                  color_diff_gate: float, depth_scale: float,
                  group: int = GROUP, coords: str = "arith",
                  lookup: str = "gather", hist_hbm: bool = False,
+                 state_hbm: bool = False,
                  uniform_skip: bool = True):
     # hist_hbm: the histogram (the bulk of state bytes — 64-128 B/voxel
     # vs 12 for diff+color+wt) stays in HBM (pl.ANY, aliased in place)
@@ -488,6 +490,15 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     # for blocks with gated (near-surface) voxels. BlockSpec streaming
     # would round-trip every block's histogram every frame — at 512^3
     # that alone is ~17 GB/frame of traffic.
+    # state_hbm: the same scheme for diff/colorpk/weight — with the XLA
+    # pre-classification most blocks are identity, yet BlockSpec streaming
+    # still round-trips their 24 KB each (3.2 GB/frame at 512^3, ~5 ms of
+    # the measured 13 ms zero-visible floor). HBM-resident + aliased,
+    # DMA'd by true id only for non-identity blocks: free blocks move
+    # diff+weight, full-lookup blocks all three; identity blocks move
+    # nothing. (An XLA-side gather/scatter compaction was tried first and
+    # LOST: 6 x 16k 8 KB-row gathers/scatters are latency-bound at
+    # ~0.1 us/row — 16 ms of pure XLA prep.)
     # origins stride: pass A packs (v0, u0, vis) and derives the block's
     # (bx, by, bz) arithmetically from its position; pass B (full-image
     # rect over a COMPACTED near-block subset) packs (v0, u0, vis, bx, by,
@@ -500,10 +511,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     (16, 128) tile layout only at the state-update boundary, which IS a
     supported cast direction."""
     step = pl.program_id(0)
-
-    @pl.when(step == 0)
-    def _():
-        miss_ref[0, 0] = 0
+    nsteps = pl.num_programs(0)
+    slot = jax.lax.rem(step, 2)
 
     ax = [params_ref[i] for i in range(3)]        # E[:,0] * voxel.x
     ay = [params_ref[3 + i] for i in range(3)]    # E[:,1] * voxel.y
@@ -515,30 +524,72 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
     # Both per-group loops are lax.fori_loop with dynamic ref indexing,
     # NOT python unrolls: a 16x unrolled body produced ~1 MB of MLIR and
-    # 700+ s Mosaic compiles at 256^3. The group's rect DMAs all start
-    # here before any compute, so block g's copy overlaps blocks 0..g-1's
-    # compute exactly as the unrolled version did.
-    def _dma_body(g, _):
-        blk = step * group + g
+    # 700+ s Mosaic compiles at 256^3. Rect/hist DMAs are DOUBLE-BUFFERED
+    # one full grid step ahead (scratch slot = step % 2): a compacted
+    # sparse pass packs DMA-heavy blocks back to back, and with only
+    # intra-step lookahead the kernel measured DMA-bound (the dense
+    # grid's identity blocks were accidental overlap slack). Issuing
+    # group g+1's copies before computing group g gives every copy a
+    # whole group's compute to land in.
+    def _hist_id(blk):
+        # the hist HBM array is indexed by TRUE block id: equal to the
+        # grid position in the dense pass, but read from the prefetched
+        # (bx, by, bz) in a compacted pass (coords == "smem")
+        if coords == "arith":
+            return blk
+        return ((origins_ref[blk * ostride + 3] * nby
+                 + origins_ref[blk * ostride + 4]) * nbz
+                + origins_ref[blk * ostride + 5])
 
-        @pl.when(origins_ref[blk * ostride + 2] == 1)
-        def _():
-            v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
-            u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
-            if lookup != "gather_nodma":  # timing ablation: no rect DMAs
-                pltpu.make_async_copy(
-                    pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
-                    rect12.at[g, pl.ds(0, rect_h)], sems.at[0, g]).start()
-                pltpu.make_async_copy(
-                    pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
-                    rect12.at[g, pl.ds(rect_h, rect_h)],
-                    sems.at[1, g]).start()
-            if hist_hbm:
-                pltpu.make_async_copy(hist_ref.at[blk], hist_buf.at[g],
-                                      hsem.at[g]).start()
-        return 0
+    def _issue_group(gstep, gslot):
+        def _dma_body(g, _):
+            blk = gstep * group + g
+            code = origins_ref[blk * ostride + 2]
 
-    jax.lax.fori_loop(0, group, _dma_body, 0)
+            if state_hbm:
+                @pl.when(code >= 1)   # free + full both need diff/weight
+                def _():
+                    hid = _hist_id(blk)
+                    pltpu.make_async_copy(diff_ref.at[hid],
+                                          dbuf.at[gslot, g],
+                                          ssem.at[0, gslot, g]).start()
+                    pltpu.make_async_copy(wt_ref.at[hid],
+                                          wbuf.at[gslot, g],
+                                          ssem.at[2, gslot, g]).start()
+
+            @pl.when(code == 1)
+            def _():
+                v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
+                u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
+                if lookup != "gather_nodma":  # ablation: no rect DMAs
+                    pltpu.make_async_copy(
+                        pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
+                        rect12.at[gslot, g, pl.ds(0, rect_h)],
+                        sems.at[0, gslot, g]).start()
+                    pltpu.make_async_copy(
+                        pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
+                        rect12.at[gslot, g, pl.ds(rect_h, rect_h)],
+                        sems.at[1, gslot, g]).start()
+                if state_hbm:
+                    pltpu.make_async_copy(colorpk_ref.at[_hist_id(blk)],
+                                          cbuf.at[gslot, g],
+                                          ssem.at[1, gslot, g]).start()
+                if hist_hbm:
+                    pltpu.make_async_copy(hist_ref.at[_hist_id(blk)],
+                                          hist_buf.at[gslot, g],
+                                          hsem.at[gslot, g]).start()
+            return 0
+
+        jax.lax.fori_loop(0, group, _dma_body, 0)
+
+    @pl.when(step == 0)
+    def _():
+        miss_ref[0, 0] = 0
+        _issue_group(0, 0)
+
+    @pl.when(step + 1 < nsteps)
+    def _():
+        _issue_group(step + 1, jax.lax.rem(step + 1, 2))
 
     # per-voxel coordinates in the native (16, 128) tile layout
     # (all VPU math runs here; earlier versions computed in a (2048, 1)
@@ -573,27 +624,85 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
     def _block_body(g, _):
         blk = step * group + g
+        hid = _hist_id(blk)
 
-        @pl.when(origins_ref[blk * ostride + 2] == 0)
-        def _():
-            # block invisible this frame (or pre-classified behind):
-            # every voxel is invalid, the update is the identity — skip
-            # DMA/MXU entirely
-            diff_out[g] = diff_ref[g]
-            colorpk_out[g] = colorpk_ref[g]
-            wt_out[g] = wt_ref[g]
-            if not hist_hbm:   # in-place HBM alias keeps content
-                hist_out[g] = hist_ref[g]
+        # state accessors: VMEM staging slots in state_hbm mode (filled by
+        # the prefetch DMAs), BlockSpec-streamed blocks otherwise
+        def d_in():
+            return dbuf[slot, g] if state_hbm else diff_ref[g]
+
+        def c_in():
+            return cbuf[slot, g] if state_hbm else colorpk_ref[g]
+
+        def w_in():
+            return wbuf[slot, g] if state_hbm else wt_ref[g]
+
+        def _wait_state(with_cpk):
+            # semaphores must be consumed exactly once per started DMA —
+            # callers wait for everything their code class started, even
+            # values a sub-branch ends up not using
+            pltpu.make_async_copy(diff_ref.at[hid], dbuf.at[slot, g],
+                                  ssem.at[0, slot, g]).wait()
+            pltpu.make_async_copy(wt_ref.at[hid], wbuf.at[slot, g],
+                                  ssem.at[2, slot, g]).wait()
+            if with_cpk:
+                pltpu.make_async_copy(colorpk_ref.at[hid],
+                                      cbuf.at[slot, g],
+                                      ssem.at[1, slot, g]).wait()
+
+        def commit(dv=None, cv=None, wv=None):
+            """Write back updated tiles. None = unchanged: streamed mode
+            passes the input through (every out block must be written);
+            state_hbm mode writes NOTHING (the HBM alias keeps content).
+            Starts all out-copies first, then waits, so the three DMAs
+            overlap — and by the wait the scratch slot is safe to reuse
+            by the next prefetch."""
+            if not state_hbm:
+                diff_out[g] = d_in() if dv is None else dv
+                colorpk_out[g] = c_in() if cv is None else cv
+                wt_out[g] = w_in() if wv is None else wv
+                return
+            cps = []
+            if dv is not None:
+                dbuf[slot, g] = dv
+                cps.append(pltpu.make_async_copy(
+                    dbuf.at[slot, g], diff_out.at[hid],
+                    ssem.at[0, slot, g]))
+            if cv is not None:
+                cbuf[slot, g] = cv
+                cps.append(pltpu.make_async_copy(
+                    cbuf.at[slot, g], colorpk_out.at[hid],
+                    ssem.at[1, slot, g]))
+            if wv is not None:
+                wbuf[slot, g] = wv
+                cps.append(pltpu.make_async_copy(
+                    wbuf.at[slot, g], wt_out.at[hid],
+                    ssem.at[2, slot, g]))
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+
+        if not state_hbm:
+            @pl.when(origins_ref[blk * ostride + 2] == 0)
+            def _():
+                # block invisible this frame (or pre-classified behind):
+                # every voxel is invalid, the update is the identity —
+                # skip DMA/MXU entirely (in state_hbm mode the branch
+                # doesn't exist at all: the HBM alias keeps content)
+                commit()
+                if not hist_hbm:   # in-place HBM alias keeps content
+                    hist_out[g] = hist_ref[g]
 
         @pl.when(origins_ref[blk * ostride + 2] == 2)
         def _():
             # pre-classified FREE (XLA pooled-depth bounds): every voxel
             # valid with dn == 1 — closed-form update, no rect or hist
             # DMA ever started for this block
-            wt = wt_ref[g].astype(jnp.float32)
-            diff_out[g] = (diff_ref[g] * wt + 1.0) / (wt + 1.0)
-            colorpk_out[g] = colorpk_ref[g]
-            wt_out[g] = wt_ref[g] + 1
+            if state_hbm:
+                _wait_state(with_cpk=False)
+            wt = w_in().astype(jnp.float32)
+            commit(dv=(d_in() * wt + 1.0) / (wt + 1.0), wv=w_in() + 1)
             if not hist_hbm:
                 hist_out[g] = hist_ref[g]
 
@@ -637,20 +746,25 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             if lookup != "gather_nodma":
                 pltpu.make_async_copy(pk1_hbm.at[pl.ds(a0a, rect_h),
                                                  pl.ds(b0a, rect_w)],
-                                      rect12.at[g, pl.ds(0, rect_h)],
-                                      sems.at[0, g]).wait()
+                                      rect12.at[slot, g, pl.ds(0, rect_h)],
+                                      sems.at[0, slot, g]).wait()
                 pltpu.make_async_copy(pk2_hbm.at[pl.ds(a0a, rect_h),
                                                  pl.ds(b0a, rect_w)],
-                                      rect12.at[g, pl.ds(rect_h, rect_h)],
-                                      sems.at[1, g]).wait()
+                                      rect12.at[slot, g,
+                                                pl.ds(rect_h, rect_h)],
+                                      sems.at[1, slot, g]).wait()
 
             hdt = hist_buf.dtype if hist_hbm else hist_ref.dtype
             if hist_hbm:
-                # the DMA-in was started at the group prefetch stage; the
-                # wait is unconditional so the scratch slot can be reused
-                # next grid step even when this block skips the update
-                pltpu.make_async_copy(hist_ref.at[blk], hist_buf.at[g],
-                                      hsem.at[g]).wait()
+                # the DMA-in was started a grid step ahead (double-
+                # buffered prefetch); the wait is unconditional so the
+                # scratch slot can be reused even when this block skips
+                # the update
+                pltpu.make_async_copy(hist_ref.at[hid],
+                                      hist_buf.at[slot, g],
+                                      hsem.at[slot, g]).wait()
+            if state_hbm:
+                _wait_state(with_cpk=True)
 
             # ---- uniform-block classification (the 512^3 lever) ----
             # The per-voxel rect lookup is the kernel's dominant cost
@@ -671,7 +785,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             # counter above is branch-independent. `uniform_skip` gates
             # the whole scheme for A/B timing.
             if uniform_skip:
-                d_tab = jnp.mod(rect12[g, :rect_h], 65536.0)
+                d_tab = jnp.mod(rect12[slot, g, :rect_h], 65536.0)
                 row_i = jax.lax.broadcasted_iota(jnp.int32,
                                                  (rect_h, rect_w), 0)
                 col_i = jax.lax.broadcasted_iota(jnp.int32,
@@ -697,9 +811,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             @pl.when(behind)
             def _():
                 # every voxel invalid: full identity
-                diff_out[g] = diff_ref[g]
-                colorpk_out[g] = colorpk_ref[g]
-                wt_out[g] = wt_ref[g]
+                commit()
                 if not hist_hbm:
                     hist_out[g] = hist_ref[g]
 
@@ -707,10 +819,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             def _():
                 # every voxel valid with dn == 1: closed-form update,
                 # color/hist gated off (dn >= color_diff_gate)
-                wt = wt_ref[g].astype(jnp.float32)
-                diff_out[g] = (diff_ref[g] * wt + 1.0) / (wt + 1.0)
-                colorpk_out[g] = colorpk_ref[g]
-                wt_out[g] = wt_ref[g] + 1
+                wt = w_in().astype(jnp.float32)
+                commit(dv=(d_in() * wt + 1.0) / (wt + 1.0), wv=w_in() + 1)
                 if not hist_hbm:
                     hist_out[g] = hist_ref[g]
 
@@ -718,16 +828,16 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             def _():
                 if lookup in ("gather", "gather_t", "gather_nodma"):
                     val1, val2 = _rect_lookup_gather(
-                        rect12.at[g], al, bl, ok, rect_h, rect_w)
+                        rect12.at[slot, g], al, bl, ok, rect_h, rect_w)
                 elif lookup == "none":  # ablation only (WRONG math)
                     val1 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
-                            + rect12[g, 0, 0])
+                            + rect12[slot, g, 0, 0])
                     val2 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
-                            + rect12[g, rect_h, 0])
+                            + rect12[slot, g, rect_h, 0])
                 else:
                     val1, val2 = _rect_lookup_matmul(
-                        rect12[g, :rect_h], rect12[g, rect_h:], al, bl, ok,
-                        rh_i, rect_h, rect_w)
+                        rect12[slot, g, :rect_h], rect12[slot, g, rect_h:],
+                        al, bl, ok, rh_i, rect_h, rect_w)
                 d_raw = jnp.mod(val1, 65536.0)         # uint16 depth, exact
                 m_id = jnp.floor(val1 / 65536.0)       # mask id
                 diff_m = d_raw / depth_scale - pz
@@ -736,14 +846,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 gate = valid & (dn < color_diff_gate)
                 m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
 
-                wt = wt_ref[g].astype(jnp.float32)
-                diff_out[g] = jnp.where(valid,
-                                        (diff_ref[g] * wt + dn)
-                                        / (wt + 1.0),
-                                        diff_ref[g])
+                wt = w_in().astype(jnp.float32)
+                new_diff = jnp.where(valid,
+                                     (d_in() * wt + dn) / (wt + 1.0),
+                                     d_in())
 
                 # color: integer truncating blend per byte, exact in f32
-                cpk = colorpk_ref[g]
+                cpk = c_in()
                 cb = jnp.mod(cpk, 256.0)
                 cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
                 cr = jnp.floor(cpk / 65536.0)
@@ -763,8 +872,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 ub = idiv(cb * wt + nb_, wtp1)
                 ug = idiv(cg * wt + ng, wtp1)
                 ur = idiv(cr * wt + nr, wtp1)
-                new_cpk = ub + ug * 256.0 + ur * 65536.0
-                colorpk_out[g] = jnp.where(gate, new_cpk, cpk)
+                new_cpk = jnp.where(gate, ub + ug * 256.0 + ur * 65536.0,
+                                    cpk)
 
                 # histogram in the row-native layout: replicate each s-row
                 # of (m, gate) to its hist rows on the MXU (bf16-exact:
@@ -796,10 +905,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 if hist_hbm:
                     @pl.when(any_gate)
                     def _():
-                        hist_buf[g] = _hist_update(hist_buf[g])
-                        cp = pltpu.make_async_copy(hist_buf.at[g],
-                                                   hist_out.at[blk],
-                                                   hsem.at[g])
+                        hist_buf[slot, g] = _hist_update(hist_buf[slot, g])
+                        cp = pltpu.make_async_copy(
+                            hist_buf.at[slot, g],
+                            hist_out.at[hid], hsem.at[slot, g])
                         cp.start()
                         cp.wait()
                 else:
@@ -811,7 +920,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                     def _():
                         hist_out[g] = hist_ref[g]
 
-                wt_out[g] = wt_ref[g] + valid.astype(jnp.int32)
+                commit(dv=new_diff, cv=new_cpk,
+                       wv=w_in() + valid.astype(jnp.int32))
         return 0
 
     jax.lax.fori_loop(0, group, _block_body, 0)
@@ -882,62 +992,90 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
 
     HRK = BLOCK_VOX * K // TILE_L
     uniform_skip = getattr(cfg, "pallas_uniform_skip", True)
-    kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
-                   rect_h=rect_h, rect_w=rect_w,
-                   color_diff_gate=cfg.color_diff_gate,
-                   depth_scale=cfg.depth_scale, lookup=lookup,
-                   hist_hbm=True, uniform_skip=uniform_skip)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(NB // GROUP,),
-        in_specs=[
-            pl.BlockSpec((32,), lambda i, o: (0,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # pk1 stays in HBM
-            pl.BlockSpec(memory_space=pl.ANY),  # pk2
-            pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # hist: manual gated DMA
-        ],
-        out_specs=[
-            pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # hist out = aliased input
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((GROUP, 2 * rect_h, rect_w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, GROUP)),
-            pltpu.VMEM((GROUP, HRK, TILE_L), b.hist.dtype),
-            pltpu.SemaphoreType.DMA((GROUP,)),
-        ],
-    )
-
     interpret = jax.default_backend() == "cpu"
-    new_diff, new_cpk, new_wt, new_hist, miss = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        out_shape=[
-            jax.ShapeDtypeStruct(b.diff.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b.colorpk.shape, jnp.float32),
-            jax.ShapeDtypeStruct(b.weight.shape, jnp.int32),
-            jax.ShapeDtypeStruct(b.hist.shape, b.hist.dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ],
-        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
-        interpret=interpret,
-    )(origins, params, pk1, pk2, b.diff, b.colorpk, b.weight, b.hist)
+    sparse = getattr(cfg, "pallas_sparse", False)
+    state_hbm = getattr(cfg, "pallas_state_hbm", True) and not sparse
+
+    if not sparse:
+        kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
+                       rect_h=rect_h, rect_w=rect_w,
+                       color_diff_gate=cfg.color_diff_gate,
+                       depth_scale=cfg.depth_scale, group=GROUP,
+                       lookup=lookup, hist_hbm=True,
+                       state_hbm=state_hbm, uniform_skip=uniform_skip)
+
+        if state_hbm:
+            state_spec = pl.BlockSpec(memory_space=pl.ANY)
+            state_specs = [state_spec, state_spec, state_spec]
+        else:
+            sspec = pl.BlockSpec((GROUP, TILE_S, TILE_L),
+                                 lambda i, o: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            state_specs = [sspec, sspec, sspec]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NB // GROUP,),
+            in_specs=[
+                pl.BlockSpec((32,), lambda i, o: (0,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # pk1 stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # pk2
+                *state_specs,   # diff/colorpk/weight: ANY when state_hbm
+                pl.BlockSpec(memory_space=pl.ANY),  # hist: manual gated DMA
+            ],
+            out_specs=[
+                *state_specs,
+                pl.BlockSpec(memory_space=pl.ANY),  # hist out = aliased in
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                # leading dim 2 = the double-buffer slots (one-step-ahead
+                # DMA prefetch; slot = grid step % 2)
+                pltpu.VMEM((2, GROUP, 2 * rect_h, rect_w), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2, GROUP)),
+                pltpu.VMEM((2, GROUP, HRK, TILE_L), b.hist.dtype),
+                pltpu.SemaphoreType.DMA((2, GROUP)),
+                pltpu.VMEM((2, GROUP, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((2, GROUP, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((2, GROUP, TILE_S, TILE_L), jnp.int32),
+                pltpu.SemaphoreType.DMA((3, 2, GROUP)),
+            ],
+        )
+
+        new_diff, new_cpk, new_wt, new_hist, miss = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            out_shape=[
+                jax.ShapeDtypeStruct(b.diff.shape, jnp.float32),
+                jax.ShapeDtypeStruct(b.colorpk.shape, jnp.float32),
+                jax.ShapeDtypeStruct(b.weight.shape, jnp.int32),
+                jax.ShapeDtypeStruct(b.hist.shape, b.hist.dtype),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+            interpret=interpret,
+        )(origins, params, pk1, pk2, b.diff, b.colorpk, b.weight, b.hist)
+        miss0 = miss[0, 0]
+        over0 = jnp.zeros((), jnp.int32)
+    else:
+        # ---- sparse main pass (the 512^3 grid lever) ----
+        # With pre-classification on, MOST blocks are identity (invisible
+        # or behind: 82% at the 512^3 bench scene), yet the dense grid
+        # above still streams every block's diff/color/weight through VMEM
+        # and pays NB/GROUP grid steps of loop overhead — measured
+        # 12.8 ms of a 31.6 ms frame with zero visible blocks. Sparse
+        # mode gathers ONLY the non-identity blocks (full-lookup code 1
+        # and closed-form free code 2 — the kernel's per-slot code branch
+        # handles both) into a compacted pass below, with the histogram
+        # kept full-size in HBM (aliased, gated true-id DMA). Identity
+        # blocks are never touched. Blocks beyond vis_block_budget are
+        # counted into the miss channel as whole blocks.
+        new_diff, new_cpk = b.diff, b.colorpk
+        new_wt, new_hist = b.weight, b.hist
+        miss0 = None  # filled by the compacted pass below
+        over0 = None
 
     # ---- escalation passes over compacted subsets ----
     # pass M: blocks whose footprint exceeds the pass-A rect but fits the
@@ -953,10 +1091,20 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         pk2 = jnp.pad(pk2, ((0, fr_h - Hp), (0, fr_w - Wp)))
     HRK2 = BLOCK_VOX * K // TILE_L
 
-    def compacted_pass(state_arrays, flags, origs, rect, budget, grp):
-        """Gather `flags` blocks (up to `budget`), fuse them with a
-        `rect`-sized window at per-slot origins, scatter back. Returns
-        (updated arrays, misses, whole-block overflow count)."""
+    def compacted_pass(state_arrays, flags, origs, rect, budget, grp,
+                       codes=None, hist_hbm=False, st_hbm=False):
+        """Fuse the `flags` blocks (up to `budget`) with a `rect`-sized
+        window at per-slot origins. Returns (updated arrays, misses,
+        whole-block overflow count).
+
+        `codes` (optional [NB] i32) carries each block's vis code into the
+        slot table so the kernel's free closed-form branch (code 2) works
+        inside a compacted pass. `hist_hbm`/`st_hbm` keep the FULL
+        histogram / diff/colorpk/weight in HBM (aliased in place, manual
+        DMA by true block id) instead of gathering + streaming per-slot
+        blocks: an XLA-side gather/scatter of 16k state blocks measured
+        16 ms of pure prep (8 KB-row gathers are latency-bound at
+        ~0.1 us/row) — the sparse main pass uses both."""
         new_diff, new_cpk, new_wt, new_hist = state_arrays
         rh, rw = rect
         n_flag = flags.sum()
@@ -972,14 +1120,26 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         else:
             o2 = origs.reshape(NB, 2)
             a0, b0 = o2[idc, 0], o2[idc, 1]
-        origins_c = jnp.stack([a0, b0, valid, bx, by, bz],
+        vis_col = valid if codes is None else valid * codes[idc]
+        origins_c = jnp.stack([a0, b0, vis_col, bx, by, bz],
                               axis=-1).reshape(-1)
         kern_c = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby,
                          nbz=b.nbz, rect_h=rh, rect_w=rw,
                          color_diff_gate=cfg.color_diff_gate,
                          depth_scale=cfg.depth_scale, group=grp,
-                         coords="smem", lookup=lookup,
-                         uniform_skip=uniform_skip)
+                         coords="smem", lookup=lookup, hist_hbm=hist_hbm,
+                         state_hbm=st_hbm, uniform_skip=uniform_skip)
+        hist_spec = (pl.BlockSpec(memory_space=pl.ANY) if hist_hbm
+                     else pl.BlockSpec((grp, HRK2, TILE_L),
+                                       lambda i, o: (i, 0, 0),
+                                       memory_space=pltpu.VMEM))
+        if st_hbm:
+            state_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        else:
+            sspec = pl.BlockSpec((grp, TILE_S, TILE_L),
+                                 lambda i, o: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            state_specs = [sspec, sspec, sspec]
         grid_c = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(budget // grp,),
@@ -988,36 +1148,32 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((grp, HRK2, TILE_L), lambda i, o: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
+                *state_specs,
+                hist_spec,
             ],
             out_specs=[
-                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((grp, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((grp, HRK2, TILE_L), lambda i, o: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
+                *state_specs,
+                hist_spec,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((grp, 2 * rh, rw), jnp.float32),
+                # double-buffer slots, as in the dense grid spec
+                pltpu.VMEM((2, grp, 2 * rh, rw), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2, grp)),
+                # hist staging slots (hbm mode); positionally required
+                pltpu.VMEM((2, grp, HRK2, TILE_L), b.hist.dtype),
                 pltpu.SemaphoreType.DMA((2, grp)),
-                # unused in hist_hbm=False mode, positionally required
-                pltpu.VMEM((grp, HRK2, TILE_L), b.hist.dtype),
-                pltpu.SemaphoreType.DMA((grp,)),
+                # state staging slots (state_hbm mode)
+                pltpu.VMEM((2, grp, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((2, grp, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((2, grp, TILE_S, TILE_L), jnp.int32),
+                pltpu.SemaphoreType.DMA((3, 2, grp)),
             ],
         )
-        da, ca, wa, ha = (new_diff[idc], new_cpk[idc], new_wt[idc],
-                          new_hist[idc])
+        da = new_diff if st_hbm else new_diff[idc]
+        ca = new_cpk if st_hbm else new_cpk[idc]
+        wa = new_wt if st_hbm else new_wt[idc]
+        ha = new_hist if hist_hbm else new_hist[idc]
         d2, c2, w2, h2, miss_c = pl.pallas_call(
             kern_c,
             grid_spec=grid_c,
@@ -1034,8 +1190,10 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
             interpret=interpret,
         )(origins_c, params, pk1, pk2, da, ca, wa, ha)
         # out-of-bounds indices (padded slots carry ids == NB) are dropped
-        return ((new_diff.at[ids].set(d2), new_cpk.at[ids].set(c2),
-                 new_wt.at[ids].set(w2), new_hist.at[ids].set(h2)),
+        return ((d2 if st_hbm else new_diff.at[ids].set(d2),
+                 c2 if st_hbm else new_cpk.at[ids].set(c2),
+                 w2 if st_hbm else new_wt.at[ids].set(w2),
+                 h2 if hist_hbm else new_hist.at[ids].set(h2)),
                 miss_c[0, 0], jnp.maximum(n_flag - budget, 0))
 
     arrays = (new_diff, new_cpk, new_wt, new_hist)
@@ -1046,7 +1204,14 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     # (a 16-block dryrun shard paid 256 grid steps x 300 MB of carry
     # copies per frame, ~280 s; clamped it is sub-second). NB is a
     # multiple of GROUP=16, so the clamped budgets stay multiples of the
-    # pass group sizes (8 and 2).
+    # pass group sizes (16, 8 and 2).
+    if sparse:
+        BV = min(getattr(cfg, "vis_block_budget", 12288), NB)
+        o3 = origins.reshape(NB, 3)
+        arrays, miss0, over0 = compacted_pass(
+            arrays, o3[:, 2] > 0, o3[:, :2].reshape(-1),
+            (rect_h, rect_w), BV, GROUP, codes=o3[:, 2], hist_hbm=True,
+            st_hbm=getattr(cfg, "pallas_state_hbm", True))
     BM = min(getattr(cfg, "mid_block_budget", 2048), NB)
     arrays, miss_m, over_m = compacted_pass(
         arrays, flag_mid, origins_mid, rect_mid, BM, 8)
@@ -1058,5 +1223,5 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     new_state = b.replace(diff=new_diff, colorpk=new_cpk, weight=new_wt,
                           hist=new_hist, n_obs=b.n_obs + 1)
     # budget overflows count the whole blocks we could not fuse
-    return new_state, (miss[0, 0] + miss_m + miss_b
-                       + (over_m + over_b) * BLOCK_VOX)
+    return new_state, (miss0 + miss_m + miss_b
+                       + (over0 + over_m + over_b) * BLOCK_VOX)

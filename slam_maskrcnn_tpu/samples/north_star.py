@@ -111,15 +111,21 @@ def detect_mask_batched_impl(model, params, anchors, nwin, colors_bgr,
 def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
                           angle, dist, cfg: FusionConfig, H: int, W: int,
                           share_shell: bool = True,
-                          render_mode: str = "instance"):
+                          render_mode: str = "instance", rows=None):
     """Fusion side of the north-star frame, detect already done: probe ->
     associate -> relabel -> 512^3 blocked fuse -> in-loop splat render.
 
+    `rows` (optional): a precomputed compacted shell — the chunk scan
+    carries one and refreshes it every cfg.shell_refresh_every frames
+    (shading reads the CURRENT color/histogram through the carried voxel
+    ids; only the shell geometry is stale, see FusionConfig).
+
     Returns (new_state, render [H, W, 3] u8, mask_g [H, W], misses)."""
     # ---- shell compaction once, shared probe <-> render ----
-    rows = _compact_shell(state.diff, state.vol_start, state.voxel,
-                          state.nby, state.nbz, cfg.splat_max_blocks,
-                          cfg.splat_max_rows, cfg.splat_shell_band)
+    if rows is None:
+        rows = _compact_shell(state.diff, state.vol_start, state.voxel,
+                              state.nby, state.nbz, cfg.splat_max_blocks,
+                              cfg.splat_max_rows, cfg.splat_shell_band)
 
     def with_assoc(operand):
         st, msk = operand
@@ -205,16 +211,77 @@ class NorthStar:
             step(params, anchors, nwin, state, d, c, e, K, a, s),
             donate_argnums=(3,))
 
+        # shell_refresh_every > 1: the scan carries the compacted shell
+        # and recompacts every N frames (the shell feeds ONLY the render
+        # when probe_mode="depth" — geometry staleness bounded at N
+        # frames, shading always reads current color/histogram)
+        refresh = max(1, int(getattr(cfg, "shell_refresh_every", 1)))
+        if refresh > 1:
+            assert cfg.probe_mode == "depth", \
+                "shell_refresh_every > 1 would stale the splat probe; " \
+                "use probe_mode='depth'"
+
+        def _shell(st):
+            return _compact_shell(st.diff, st.vol_start, st.voxel,
+                                  st.nby, st.nbz, cfg.splat_max_blocks,
+                                  cfg.splat_max_rows, cfg.splat_shell_band)
+
+        def _scan_fused(state, depths, colors, es, K4, angles, dist,
+                        masks=None, detect_ctx=None):
+            """Common fuse+render scan with the optional carried-shell
+            refresh schedule. `masks` given: scan over precomputed masks
+            (the batched-detect form); None: detect inside the loop using
+            detect_ctx = (params, anchors, nwin)."""
+            def fuse_one(st, d, c, msk, e, a, rows):
+                if msk is None:
+                    params, anchors, nwin = detect_ctx
+                    msk = detect_mask_impl(model, params, anchors, nwin,
+                                           c, H, W, self.geom,
+                                           self.mean_pixel)
+                return fuse_render_step_impl(
+                    st, msk, d, c, e, K4, a, dist, cfg, H, W,
+                    share_shell, render_mode, rows=rows)
+
+            xs = ((depths, colors, es, angles) if masks is None
+                  else (depths, colors, masks, es, angles))
+
+            def unpack(fr):
+                if masks is None:
+                    d, c, e, a = fr
+                    return d, c, None, e, a
+                d, c, msk, e, a = fr
+                return d, c, msk, e, a
+
+            if refresh <= 1:
+                def body(st, fr):
+                    st, render, mask_g, miss = fuse_one(st, *unpack(fr),
+                                                        rows=None)
+                    return st, (render, mask_g, miss)
+
+                return jax.lax.scan(body, state, xs)
+
+            rows0 = _shell(state)
+            idxs = jnp.arange(depths.shape[0], dtype=jnp.int32)
+
+            def body(carry, fr_i):
+                st, rows = carry
+                fr, i = fr_i[:-1], fr_i[-1]
+                rows = jax.lax.cond((i % refresh == 0) & (i > 0),
+                                    _shell, lambda _s: rows, st)
+                st, render, mask_g, miss = fuse_one(st, *unpack(fr),
+                                                    rows=rows)
+                return (st, rows), (render, mask_g, miss)
+
+            (state, _), outs = jax.lax.scan(body, (state, rows0),
+                                            xs + (idxs,))
+            return state, outs
+
         def chunk(params, anchors, nwin, state, depths, colors, es, K4,
                   angles, dist):
-            def body(st, fr):
-                d, c, e, a = fr
-                st, render, mask_g, miss = step(params, anchors, nwin, st,
-                                                d, c, e, K4, a, dist)
-                return st, (render, mask_g, miss)
-
-            state, (renders, masks_g, misses) = jax.lax.scan(
-                body, state, (depths, colors, es, angles))
+            # detect stays INSIDE the scan: the per-frame-latency form
+            state, (renders, masks_g, misses) = _scan_fused(
+                state, depths, colors, es, K4, angles, dist,
+                detect_ctx=(params, anchors, nwin))
             return state, renders, masks_g, misses
 
         self._chunk = jax.jit(chunk, donate_argnums=(3,))
@@ -228,16 +295,8 @@ class NorthStar:
             masks = detect_mask_batched_impl(model, params, anchors,
                                              nwin, colors, H, W,
                                              self.geom, self.mean_pixel)
-
-            def body(st, fr):
-                d, c, msk, e, a = fr
-                st, render, mask_g, miss = fuse_render_step_impl(
-                    st, msk, d, c, e, K4, a, dist, cfg, H, W,
-                    share_shell, render_mode)
-                return st, (render, mask_g, miss)
-
-            state, (renders, masks_g, misses) = jax.lax.scan(
-                body, state, (depths, colors, masks, es, angles))
+            state, (renders, masks_g, misses) = _scan_fused(
+                state, depths, colors, es, K4, angles, dist, masks=masks)
             return state, renders, masks_g, misses
 
         self._chunk_batched = jax.jit(chunk_batched, donate_argnums=(3,))

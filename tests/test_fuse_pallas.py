@@ -158,6 +158,61 @@ def test_camera_inside_volume_parity():
     assert diff_bad.mean() < 1e-2, f"{diff_bad.sum()} diff mismatches"
 
 
+def test_sparse_main_pass_matches_dense():
+    """pallas_sparse=True (one compacted pass over the non-identity
+    blocks, identity blocks untouched) must reproduce the dense-grid
+    kernel bit-exactly — the free/full branches are the SAME kernel code
+    either way."""
+    cfg_s = FusionConfig(vol_dim=(32, 32, 32), hist_dtype=jnp.uint16,
+                         pallas_rect=(128, 256), pallas_sparse=True)
+    frames = _frames(3)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    # two independent states: donation on the first fuse call would
+    # otherwise delete the metadata arrays they'd share
+    b_d = to_blocked(init_from_first_frame(CFG, depth0, K4, md), CFG)
+    b_s = to_blocked(init_from_first_frame(cfg_s, depth0, K4, md), cfg_s)
+    E0inv = np.linalg.inv(frames[0][3])
+    for depth, img, mask, E in frames:
+        e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+        args = (jnp.asarray(depth), jnp.asarray(img), jnp.asarray(mask),
+                e2i, jnp.asarray(K4))
+        b_d, m_d = fuse_frame_blocked(b_d, *args, CFG)
+        b_s, m_s = fuse_frame_blocked(b_s, *args, cfg_s)
+        assert int(m_d) == 0 and int(m_s) == 0
+    np.testing.assert_array_equal(np.asarray(b_s.weight),
+                                  np.asarray(b_d.weight))
+    np.testing.assert_array_equal(np.asarray(b_s.hist),
+                                  np.asarray(b_d.hist))
+    np.testing.assert_array_equal(np.asarray(b_s.colorpk),
+                                  np.asarray(b_d.colorpk))
+    np.testing.assert_array_equal(np.asarray(b_s.diff),
+                                  np.asarray(b_d.diff))
+
+
+def test_sparse_budget_overflow_counts_misses():
+    """Visible blocks beyond vis_block_budget must be counted into the
+    miss channel as whole blocks (the no-silent-caps contract)."""
+    # 64^3 = 128 blocks (a 32^3 volume has only 16 = the budget itself)
+    cfg_s = FusionConfig(vol_dim=(64, 64, 64), hist_dtype=jnp.uint16,
+                         pallas_rect=(128, 256), pallas_sparse=True,
+                         vis_block_budget=16)
+    frames = _frames(1)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    state = init_from_first_frame(cfg_s, depth0, K4, md)
+    b_s = to_blocked(state, cfg_s)
+    E0inv = np.linalg.inv(frames[0][3])
+    depth, img, mask, E = frames[0]
+    e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+    b_s, m_s = fuse_frame_blocked(b_s, jnp.asarray(depth), jnp.asarray(img),
+                                  jnp.asarray(mask), e2i, jnp.asarray(K4),
+                                  cfg_s)
+    # the 32^3 fixture has far more than 16 visible blocks
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import BLOCK_VOX
+    assert int(m_s) >= BLOCK_VOX, f"expected whole-block misses, got {m_s}"
+
+
 def test_invisible_blocks_are_skipped_correctly():
     """Camera looking away: no voxel is visible; the state must be
     unchanged except n_obs (identity update via the visibility skip)."""

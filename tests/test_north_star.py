@@ -172,3 +172,35 @@ def test_north_star_chunk_matches_percall():
     for i, r in enumerate(renders):
         rc_ = np.asarray(renders_c[i])
         assert (r != rc_).mean() <= 2e-3, (r != rc_).mean()
+
+
+def test_north_star_shell_refresh_amortization():
+    """shell_refresh_every=3 with the depth probe: the fused state and
+    global-id masks must be IDENTICAL to refresh-every-frame (the shell
+    feeds only the render there); renders may differ only in the stale
+    shell geometry — on a static scene that is a small pixel fraction."""
+    model, K4, _, state, staged, dist = _setup(n_frames=6)
+    cfg1 = FusionConfig(vol_dim=(64,) * 3, hist_dtype=jnp.uint16,
+                        probe_mode="depth")
+    cfg3 = FusionConfig(vol_dim=(64,) * 3, hist_dtype=jnp.uint16,
+                        probe_mode="depth", shell_refresh_every=3)
+    ns1 = NorthStar(model, K4, cfg1, 96, 128)
+    ns3 = NorthStar(model, K4, cfg3, 96, 128)
+    depths = jnp.stack([s[0] for s in staged])
+    colors = jnp.stack([s[1] for s in staged])
+    es = jnp.stack([s[2] for s in staged])
+    angles = jnp.asarray([0.01 * (i + 1) for i in range(len(staged))],
+                         jnp.float32)
+    st1, r1, m1, miss1 = ns1.run_chunk_batched(
+        jax.tree.map(lambda x: x.copy(), state), depths, colors, es,
+        angles, dist)
+    st3, r3, m3, miss3 = ns3.run_chunk_batched(
+        jax.tree.map(lambda x: x.copy(), state), depths, colors, es,
+        angles, dist)
+    np.testing.assert_array_equal(np.asarray(st1.weight),
+                                  np.asarray(st3.weight))
+    np.testing.assert_array_equal(np.asarray(st1.hist),
+                                  np.asarray(st3.hist))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m3))
+    frac = (np.asarray(r1) != np.asarray(r3)).mean()
+    assert frac <= 0.02, f"stale-shell render delta too large: {frac}"

@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--probe-mode", default="depth",
                     choices=("depth", "splat"))
     ap.add_argument("--vol", type=int, default=512)
+    ap.add_argument("--no-sparse", action="store_true",
+                    help="disable the sparse fuse main pass "
+                         "(FusionConfig.pallas_sparse) for A/B timing")
     args = ap.parse_args()
 
     import numpy as np
@@ -92,7 +95,8 @@ def main():
                        near_block_budget=512, pallas_rect=(48, 256),
                        pallas_rect_mid=(128, 384), mid_block_budget=1024,
                        probe_mode=args.probe_mode,
-                       probe_stride=2 if args.probe_mode == "depth" else 1)
+                       probe_stride=2 if args.probe_mode == "depth" else 1,
+                       pallas_sparse=not args.no_sparse)
     frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
     state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
                                           frames[0]["mean_depth"])

@@ -89,6 +89,10 @@ FUSION_VARIANTS = {
     "u8": dict(hist_dtype="uint8"),
     "cascade": dict(vol=128, pallas_rect=(48, 256),
                     pallas_rect_mid=(128, 384), near_block_budget=512),
+    # the sparse main pass (dense-XLA free update + compacted visible
+    # pass) at the 512^3 bench kernel shape — see FusionConfig.pallas_sparse
+    "sparse": dict(vol=128, pallas_sparse=True, pallas_rect=(48, 256),
+                   pallas_rect_mid=(128, 384), near_block_budget=512),
 }
 
 
