@@ -114,7 +114,9 @@ def run_fusion_variant(name, vol):
     CPU) through the public SemanticFusion driver."""
     from slam_maskrcnn_tpu.fusion import SemanticFusion
 
-    K4, cfg, frames = build_fusion_inputs(vol, **dict(FUSION_VARIANTS[name]))
+    over = dict(FUSION_VARIANTS[name])
+    vol = over.pop("vol", vol)
+    K4, cfg, frames = build_fusion_inputs(vol, **over)
     f = SemanticFusion(K4, cfg, backend="pallas", miss_check_every=0)
     masks = []
     for fr in frames:
@@ -146,12 +148,14 @@ def run_scan(vol):
     masks = jnp.stack([jnp.asarray(fr["mask"]) for fr in frames[1:]])
     es = jnp.stack([jnp.asarray((fr["extrinsic"] @ E0i).astype(np.float32))
                     for fr in frames[1:]])
-    state, misses = fuse_sequence_blocked(state, depths, colors, masks, es,
-                                          jnp.asarray(K4), cfg)
+    state, masks_g, misses = fuse_sequence_blocked(state, depths, colors,
+                                                   masks, es,
+                                                   jnp.asarray(K4), cfg)
     return dict(diff=np.asarray(state.diff),
                 colorpk=np.asarray(state.colorpk),
                 weight=np.asarray(state.weight),
                 hist=np.asarray(state.hist),
+                masks=np.asarray(masks_g),
                 misses=np.asarray(misses).reshape(-1))
 
 
