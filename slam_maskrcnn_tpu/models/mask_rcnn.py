@@ -167,16 +167,28 @@ class MaskRCNNModule(nn.Module):
             rngs, proposals, gt_class_ids, gt_boxes, gt_masks)
         rois = jax.lax.stop_gradient(rois)
 
-        def per_image(feats, r):
+        # ROI align per image (vmap), heads on the FLATTENED [B*T] roi
+        # batch — the reference's TimeDistributed heads see all rois of
+        # the batch as one batch too (model.py:905-1008), and flattening
+        # keeps the heads' live-BN batch-stats update OUT of the vmap
+        # (a mutable collection under vmap is a tracer leak)
+        def align(feats, r):
             pooled = pyramid_roi_align(feats, r, self.pool_size,
                                        self.image_shape)
-            logits, probs, bbox = self.classifier(pooled, train_bn)
             mpooled = pyramid_roi_align(feats, r, self.mask_pool_size,
                                         self.image_shape)
-            masks = self.mask_head(mpooled, train_bn)
-            return logits, probs, bbox, masks
+            return pooled, mpooled
 
-        logits, probs, bbox, masks = jax.vmap(per_image)(mrcnn_feats, rois)
+        pooled, mpooled = jax.vmap(align)(mrcnn_feats, rois)
+        T = pooled.shape[1]
+        logits, probs, bbox = self.classifier(
+            pooled.reshape((B * T,) + pooled.shape[2:]), train_bn)
+        masks = self.mask_head(
+            mpooled.reshape((B * T,) + mpooled.shape[2:]), train_bn)
+        logits = logits.reshape((B, T) + logits.shape[1:])
+        probs = probs.reshape((B, T) + probs.shape[1:])
+        bbox = bbox.reshape((B, T) + bbox.shape[1:])
+        masks = masks.reshape((B, T) + masks.shape[1:])
         outputs = dict(rpn_class_logits=rpn_logits, rpn_probs=rpn_probs,
                        rpn_bbox=rpn_bbox, mrcnn_class_logits=logits,
                        mrcnn_probs=probs, mrcnn_bbox=bbox, mrcnn_masks=masks)

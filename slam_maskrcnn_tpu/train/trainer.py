@@ -90,6 +90,17 @@ class Trainer:
             optax.sgd(lr, momentum=cfg.LEARNING_MOMENTUM),
         )
 
+        # TRAIN_BN: the reference threads config.TRAIN_BN into every
+        # BatchNorm of its training graph (model.py train_bn=...). False
+        # (the reference default) freezes BN to its running stats — sane
+        # ONLY with pretrained weights: from RANDOM init a frozen-BN
+        # resnet101 at 1024^2 amplifies activations layer over layer
+        # until the RPN logits reach +-200 and the losses NaN within ten
+        # steps (measured; shapes' resnet50@128^2 merely started at loss
+        # ~29 and survived). True runs batch-stats BN and updates the
+        # running averages through the step.
+        train_bn = bool(getattr(cfg, "TRAIN_BN", False))
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(variables, opt_state, rng, batch):
             params = variables["params"]
@@ -97,26 +108,34 @@ class Trainer:
 
             def loss_fn(p):
                 v = dict(variables, params=p)
-                outputs, targets = module.apply(
-                    v, batch["images"], batch["anchors"], rng,
-                    batch["gt_class_ids"], batch["gt_boxes"],
-                    batch["gt_masks"],
-                    train_rois=cfg.TRAIN_ROIS_PER_IMAGE,
-                    positive_ratio=cfg.ROI_POSITIVE_RATIO,
-                    method=module.train_forward)
+                kwargs = dict(train_rois=cfg.TRAIN_ROIS_PER_IMAGE,
+                              positive_ratio=cfg.ROI_POSITIVE_RATIO,
+                              method=module.train_forward)
+                args = (batch["images"], batch["anchors"], rng,
+                        batch["gt_class_ids"], batch["gt_boxes"],
+                        batch["gt_masks"])
+                if train_bn:
+                    (outputs, targets), mut = module.apply(
+                        v, *args, train_bn=True,
+                        mutable=["batch_stats"], **kwargs)
+                else:
+                    outputs, targets = module.apply(v, *args, **kwargs)
+                    mut = {}
                 targets["rpn_match"] = batch["rpn_match"]
                 targets["rpn_bbox"] = batch["rpn_bbox"]
                 targets["active_class_ids"] = batch["active_class_ids"]
                 loss, parts = total_loss(outputs, targets, cfg.LOSS_WEIGHTS)
                 loss = loss + l2_regularization(p, cfg.WEIGHT_DECAY)
-                return loss, parts
+                return loss, (parts, mut)
 
-            (loss, parts), grads = jax.value_and_grad(
+            (loss, (parts, mut)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
             grads = jax.tree.map(lambda g, m: g * m, grads, frozen_mask)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             variables = dict(variables, params=params)
+            if train_bn and "batch_stats" in mut:
+                variables["batch_stats"] = mut["batch_stats"]
             return variables, opt_state, loss, parts
 
         return step, opt

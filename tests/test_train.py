@@ -94,6 +94,35 @@ def test_train_step_reduces_loss():
     assert hist[-1] < hist[0] * 0.85, f"loss did not descend: {hist}"
 
 
+def test_train_bn_mode_trains_and_updates_stats():
+    """TRAIN_BN=True (the reference's config.TRAIN_BN -> train_bn wiring,
+    model.py:1890/2036): batch-stats BN in the training graph, running
+    averages updated through the step. From random init this is the mode
+    that keeps deep configs finite (a frozen-BN resnet101@1024^2
+    amplified activations to NaN within 10 steps — see trainer.py)."""
+    class BNConfig(TrainConfig):
+        NAME = "shapes_train_bn"
+        TRAIN_BN = True
+
+    cfg = BNConfig()
+    ds = ShapesDataset()
+    ds.load_shapes(6, 128, 128, seed=3)
+    ds.prepare()
+    model = MaskRCNN("training", cfg)
+    model.init_params(0)
+    bs0 = jax.tree.map(lambda x: np.asarray(x).copy(),
+                       model.params["batch_stats"])
+    trainer = Trainer(model, cfg)
+    hist = trainer.train(ds, learning_rate=0.002, epochs=1, layers="all",
+                         steps_per_epoch=3, verbose=0, checkpoint=False)
+    assert np.isfinite(hist).all()
+    changed = any(
+        not np.allclose(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(bs0),
+                        jax.tree.leaves(model.params["batch_stats"])))
+    assert changed, "running BN stats did not update in TRAIN_BN mode"
+
+
 def test_train_step_data_parallel_mesh():
     """GPU_COUNT>1 engages the device mesh (8 virtual CPU devices)."""
     import jax

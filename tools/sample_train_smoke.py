@@ -69,7 +69,8 @@ def make_nucleus_tree(root: str, n: int = 4, size: int = 96):
         cv2.imwrite(os.path.join(sdir, iid, "images", iid + ".png"), img)
 
 
-def run_one(name: str, model, cfg, dataset, steps: int, epochs: int = 1):
+def run_one(name: str, model, cfg, dataset, steps: int, epochs: int = 1,
+            lr: float | None = None):
     """Run epochs x steps optimizer steps and record the loss CURVE
     (VERDICT r2 weak #5: 2 steps proved the graph executes, not that the
     config trains — now the committed artifact shows a real decrease)."""
@@ -78,6 +79,7 @@ def run_one(name: str, model, cfg, dataset, steps: int, epochs: int = 1):
     trainer = Trainer(model, cfg)
     t0 = time.time()
     history = trainer.train(dataset, epochs=epochs, layers="all",
+                            learning_rate=lr,
                             steps_per_epoch=steps, checkpoint=False)
     secs = time.time() - t0
     first, last = (history[0], history[-1]) if history else (None, None)
@@ -95,6 +97,11 @@ def main():
     ap.add_argument("--steps", type=int, default=10,
                     help="steps per epoch")
     ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="smoke LR (stable from random init WITH live "
+                         "BN — TRAIN_BN=True below; the frozen-BN "
+                         "reference default NaNs from scratch at any lr, "
+                         "see trainer.py)")
     ap.add_argument("--out", default=os.path.join(REPO, "SMOKE_TRAIN.json"))
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -117,11 +124,17 @@ def main():
         ds.prepare()
         cfg = BalloonConfig()
         cfg.STEPS_PER_EPOCH = args.steps
+        # train in f32 (as the reference's TF1 does): bf16 forward at
+        # 1024^2 from random init NaNs the RPN losses within one epoch
+        cfg.COMPUTE_DTYPE = "float32"
+        # from-scratch training needs live BN (frozen BN at random init
+        # amplifies activations until the RPN losses NaN — see trainer)
+        cfg.TRAIN_BN = True
         model = MaskRCNN("training", cfg)
         model.init_params(0)
         print("[smoke] balloon training step...", flush=True)
         results.append(run_one("balloon", model, cfg, ds, args.steps,
-                               args.epochs))
+                               args.epochs, lr=args.lr))
         del model
 
     with tempfile.TemporaryDirectory() as root:
@@ -131,11 +144,13 @@ def main():
         ds.prepare()
         cfg = NucleusConfig()
         cfg.STEPS_PER_EPOCH = args.steps
+        cfg.COMPUTE_DTYPE = "float32"
+        cfg.TRAIN_BN = True
         model = MaskRCNN("training", cfg)
         model.init_params(0)
         print("[smoke] nucleus training step...", flush=True)
         results.append(run_one("nucleus", model, cfg, ds, args.steps,
-                               args.epochs))
+                               args.epochs, lr=args.lr))
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
