@@ -187,13 +187,22 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
     cfg = FusionConfig(vol_dim=(512,) * 3, hist_dtype=jnp.uint16,
                        splat_max_blocks=8192,
                        splat_max_surface=1024 * 1024,
-                       splat_max_rows=49152, near_block_budget=512,
+                       # escalation budgets sized to the measured flag
+                       # counts (mid 489, full-img 10 at the bench scene)
+                       # with 1.5-12x margin; overflow feeds the miss
+                       # channel, which this bench asserts stays 0
+                       splat_max_rows=49152, near_block_budget=128,
                        pallas_rect=(48, 256), pallas_rect_mid=(128, 384),
-                       mid_block_budget=1024,
+                       mid_block_budget=768,
+                       # cap 20: candidate-set sweep 24 -> 20 keeps
+                       # winner agreement ~0.999 (16 drops to 0.970);
+                       # clipped entries land in the clip channel
+                       splat_row_cap=20,
                        probe_mode="depth", probe_stride=2,
-                       # recompact the render shell every 4 chunk frames
-                       # (geometry-only staleness; state/mask outcomes
-                       # identical — tests/test_north_star.py)
+                       # refresh the render's candidate set every 4 chunk
+                       # frames (selection-geometry-only staleness;
+                       # state/mask outcomes identical —
+                       # tests/test_north_star.py)
                        shell_refresh_every=4)
     frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
     state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,

@@ -322,6 +322,107 @@ def _splat_from_rows(rows, M, m4, H, W, max_blocks: int, max_rows: int,
     return zbuf, vid, overflow, clip
 
 
+def select_candidates(rows, M, m4, row_cap: int):
+    """Camera-guided candidate selection: the level-2 sort+cap of
+    _splat_from_rows, returning ONLY the selected voxel codes
+    ([max_rows * cap] i32, -1 = empty slot) plus the overflow/clip
+    counters. The north-star chunk carries this single array across
+    frames (like the shell itself): the per-row nearest-`cap` set drifts
+    negligibly over a few hundredths of a radian of camera motion, while
+    the per-frame projection is recomputed EXACTLY from the codes — so
+    staleness affects only which candidates compete, never where they
+    land. Refreshing both every cfg.shell_refresh_every frames skips the
+    [max_rows, 128] projection + 3-operand sort on carry frames."""
+    px, py, pz = rows["px"], rows["py"], rows["pz"]
+    shell_r, code_r = rows["shell_r"], rows["code_r"]
+    L = px.shape[1]
+    cap = int(min(L, row_cap)) if row_cap else L
+
+    sx = M[0, 0] * px + M[0, 1] * py + M[0, 2] * pz + m4[0]
+    sy = M[1, 0] * px + M[1, 1] * py + M[1, 2] * pz + m4[1]
+    sz = M[2, 0] * px + M[2, 1] * py + M[2, 2] * pz + m4[2]
+    safe = jnp.where(jnp.abs(sz) < 1e-9, 1e-9, sz)
+    u = jnp.floor(sx / safe + 0.5).astype(jnp.int32)
+    v = jnp.floor(sy / safe + 0.5).astype(jnp.int32)
+    vis_r = shell_r & (sz > 1e-6)
+    _ = (u, v)  # in-image test deferred to render time (exact per frame)
+    zkey = jnp.where(vis_r, sz, BIG)
+    z_sd, code_sd = jax.lax.sort((zkey, code_r), dimension=1, num_keys=1)
+    sel_ok = z_sd[:, :cap] < BIG / 2
+    codes = jnp.where(sel_ok, code_sd[:, :cap], -1).reshape(-1)
+    clip = jnp.maximum(vis_r.sum(axis=1) - cap, 0).sum()
+    return codes, rows["over_blocks"] + jnp.maximum(
+        rows["n_rows"] - px.shape[0], 0) * L, clip
+
+
+def splat_from_candidates(codes, vol_start, voxel, nby: int, nbz: int,
+                          M, m4, H, W, fill: bool = True):
+    """Render-phase splat over a precomputed candidate code set
+    ([N] i32, -1 empty): decode codes to world positions arithmetically,
+    project with the CURRENT camera, packed-key scatter-min, hole fill.
+    Returns (zbuf [H*W], vid [H*W]) — same contract as _splat_from_rows'
+    first two outputs."""
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (BLOCK_VOX, BX, BY,
+                                                          BZ)
+    S_L = 16 * 128
+    ok0 = codes >= 0
+    csafe = jnp.maximum(codes, 0)
+    blk = csafe // S_L
+    vlin = csafe % S_L
+    bxf = (blk // (nbz * nby)).astype(jnp.float32)
+    byf = ((blk // nbz) % nby).astype(jnp.float32)
+    bzf = (blk % nbz).astype(jnp.float32)
+    dx = (vlin // (BY * BZ)).astype(jnp.float32)
+    dy = ((vlin // BZ) % BY).astype(jnp.float32)
+    dz = (vlin % BZ).astype(jnp.float32)
+    px = vol_start[0] + (bxf * BX + dx) * voxel[0]
+    py = vol_start[1] + (byf * BY + dy) * voxel[1]
+    pz = vol_start[2] + (bzf * BZ + dz) * voxel[2]
+
+    sx = M[0, 0] * px + M[0, 1] * py + M[0, 2] * pz + m4[0]
+    sy = M[1, 0] * px + M[1, 1] * py + M[1, 2] * pz + m4[1]
+    sz = M[2, 0] * px + M[2, 1] * py + M[2, 2] * pz + m4[2]
+    safe = jnp.where(jnp.abs(sz) < 1e-9, 1e-9, sz)
+    u = jnp.floor(sx / safe + 0.5).astype(jnp.int32)
+    v = jnp.floor(sy / safe + 0.5).astype(jnp.int32)
+    vis = ok0 & (sz > 1e-6) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    pix = jnp.where(vis, v * W + u, H * W)
+    z_s = jnp.where(vis, sz, BIG)
+
+    n_surface = codes.shape[0]
+    idx_bits = max(int(n_surface - 1).bit_length(), 1)
+    z_bits = 31 - idx_bits
+    assert z_bits >= 8, f"candidate count {n_surface} leaves {z_bits} bits"
+    z_levels = float(2 ** z_bits)
+    zmax = jnp.max(jnp.where(z_s < BIG / 2, z_s, 0.0))
+    z_scale = (z_levels - 1.0) / jnp.maximum(zmax, 1e-3)
+    zq = jnp.clip(z_s * z_scale, 0.0, z_levels - 1.0).astype(jnp.int32)
+    idx32 = jax.lax.broadcasted_iota(jnp.int32, (n_surface,), 0)
+    key = jnp.where(vis, (zq << idx_bits) | idx32, jnp.int32(2 ** 31 - 1))
+    kbuf = jnp.full((H * W + 1,), jnp.int32(2 ** 31 - 1), jnp.int32)
+    kbuf = kbuf.at[pix].min(key)
+    kb = kbuf[:-1]
+    if fill:
+        kb2 = kb.reshape(H, W)
+        empty = kb2 == 2 ** 31 - 1
+        best = jnp.full_like(kb2, 2 ** 31 - 1)
+        for dy_ in (-1, 0, 1):
+            for dx_ in (-1, 0, 1):
+                if dy_ == 0 and dx_ == 0:
+                    continue
+                best = jnp.minimum(best, jnp.roll(kb2, (dy_, dx_),
+                                                  axis=(0, 1)))
+        kb = jnp.where(empty, best, kb2).reshape(-1)
+    have = kb != 2 ** 31 - 1
+    widx = jnp.minimum(kb & (2 ** idx_bits - 1), n_surface - 1)
+    won = codes[widx]                       # one gather; -1 marks empty
+    vid = jnp.where(have & (won >= 0), won, -1)
+    zbuf = jnp.where(have,
+                     (kb >> idx_bits).astype(jnp.float32) / z_scale,
+                     BIG)
+    return zbuf, vid
+
+
 def _gather_hist_rows(hist, vox_ids, K):
     """Per-voxel K-bin histogram rows from the row-native
     [NB, 2048*K/128, 128] layout (see ops/pallas/fuse_kernel.py).

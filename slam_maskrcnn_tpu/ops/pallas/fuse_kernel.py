@@ -541,55 +541,52 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  + origins_ref[blk * ostride + 4]) * nbz
                 + origins_ref[blk * ostride + 5])
 
-    def _issue_group(gstep, gslot):
-        def _dma_body(g, _):
-            blk = gstep * group + g
-            code = origins_ref[blk * ostride + 2]
+    def _issue_one(blk, g, gslot):
+        """Start the DMAs block `blk` will need (into slot gslot, lane g)."""
+        code = origins_ref[blk * ostride + 2]
 
-            if state_hbm:
-                @pl.when(code >= 1)   # free + full both need diff/weight
-                def _():
-                    hid = _hist_id(blk)
-                    pltpu.make_async_copy(diff_ref.at[hid],
-                                          dbuf.at[gslot, g],
-                                          ssem.at[0, gslot, g]).start()
-                    pltpu.make_async_copy(wt_ref.at[hid],
-                                          wbuf.at[gslot, g],
-                                          ssem.at[2, gslot, g]).start()
-
-            @pl.when(code == 1)
+        if state_hbm:
+            @pl.when(code >= 1)   # free + full both need diff/weight
             def _():
-                v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
-                u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
-                if lookup != "gather_nodma":  # ablation: no rect DMAs
-                    pltpu.make_async_copy(
-                        pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
-                        rect12.at[gslot, g, pl.ds(0, rect_h)],
-                        sems.at[0, gslot, g]).start()
-                    pltpu.make_async_copy(
-                        pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
-                        rect12.at[gslot, g, pl.ds(rect_h, rect_h)],
-                        sems.at[1, gslot, g]).start()
-                if state_hbm:
-                    pltpu.make_async_copy(colorpk_ref.at[_hist_id(blk)],
-                                          cbuf.at[gslot, g],
-                                          ssem.at[1, gslot, g]).start()
-                if hist_hbm:
-                    pltpu.make_async_copy(hist_ref.at[_hist_id(blk)],
-                                          hist_buf.at[gslot, g],
-                                          hsem.at[gslot, g]).start()
-            return 0
+                hid = _hist_id(blk)
+                pltpu.make_async_copy(diff_ref.at[hid],
+                                      dbuf.at[gslot, g],
+                                      ssem.at[0, gslot, g]).start()
+                pltpu.make_async_copy(wt_ref.at[hid],
+                                      wbuf.at[gslot, g],
+                                      ssem.at[2, gslot, g]).start()
 
-        jax.lax.fori_loop(0, group, _dma_body, 0)
+        @pl.when(code == 1)
+        def _():
+            v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
+            u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
+            if lookup != "gather_nodma":  # ablation: no rect DMAs
+                pltpu.make_async_copy(
+                    pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
+                    rect12.at[gslot, g, pl.ds(0, rect_h)],
+                    sems.at[0, gslot, g]).start()
+                pltpu.make_async_copy(
+                    pk2_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
+                    rect12.at[gslot, g, pl.ds(rect_h, rect_h)],
+                    sems.at[1, gslot, g]).start()
+            if state_hbm:
+                pltpu.make_async_copy(colorpk_ref.at[_hist_id(blk)],
+                                      cbuf.at[gslot, g],
+                                      ssem.at[1, gslot, g]).start()
+            if hist_hbm:
+                pltpu.make_async_copy(hist_ref.at[_hist_id(blk)],
+                                      hist_buf.at[gslot, g],
+                                      hsem.at[gslot, g]).start()
 
     @pl.when(step == 0)
     def _():
         miss_ref[0, 0] = 0
-        _issue_group(0, 0)
-
-    @pl.when(step + 1 < nsteps)
-    def _():
-        _issue_group(step + 1, jax.lax.rem(step + 1, 2))
+        # prologue: group 0's DMAs (afterwards, group s+1's copies are
+        # issued INSIDE group s's block loop — one fori visit per block
+        # instead of two; the visits are ~100 ns of SMEM-read+branch each
+        # and were half the 512^3 zero-visible floor)
+        jax.lax.fori_loop(
+            0, group, lambda g, _: (_issue_one(g, g, 0), 0)[1], 0)
 
     # per-voxel coordinates in the native (16, 128) tile layout
     # (all VPU math runs here; earlier versions computed in a (2048, 1)
@@ -625,6 +622,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     def _block_body(g, _):
         blk = step * group + g
         hid = _hist_id(blk)
+
+        # issue lane g of the NEXT group's DMAs first (merged prefetch:
+        # same one-group lookahead as a separate issue loop, half the
+        # per-block loop visits)
+        @pl.when(step + 1 < nsteps)
+        def _():
+            _issue_one(blk + group, g, jax.lax.rem(step + 1, 2))
 
         # state accessors: VMEM staging slots in state_hbm mode (filled by
         # the prefetch DMAs), BlockSpec-streamed blocks otherwise

@@ -39,7 +39,9 @@ from slam_maskrcnn_tpu.fusion.associate import (apply_relabel,
 from slam_maskrcnn_tpu.fusion.splat import (_compact_shell, _shade,
                                             _splat_from_rows, depth_probe,
                                             pinhole_of_orbit,
-                                            probe_from_rows)
+                                            probe_from_rows,
+                                            select_candidates,
+                                            splat_from_candidates)
 from slam_maskrcnn_tpu.fusion.state import FusionConfig
 from slam_maskrcnn_tpu.models.anchors import get_anchors
 from slam_maskrcnn_tpu.models.mask_ops import label_masks_device
@@ -111,18 +113,23 @@ def detect_mask_batched_impl(model, params, anchors, nwin, colors_bgr,
 def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
                           angle, dist, cfg: FusionConfig, H: int, W: int,
                           share_shell: bool = True,
-                          render_mode: str = "instance", rows=None):
+                          render_mode: str = "instance", rows=None,
+                          cands=None):
     """Fusion side of the north-star frame, detect already done: probe ->
     associate -> relabel -> 512^3 blocked fuse -> in-loop splat render.
 
-    `rows` (optional): a precomputed compacted shell — the chunk scan
-    carries one and refreshes it every cfg.shell_refresh_every frames
-    (shading reads the CURRENT color/histogram through the carried voxel
-    ids; only the shell geometry is stale, see FusionConfig).
+    `cands` (optional, depth-probe mode): a carried candidate code set
+    (fusion/splat.py select_candidates) — the chunk scan refreshes it
+    every cfg.shell_refresh_every frames and the render re-projects the
+    codes EXACTLY with this frame's camera, skipping the full shell
+    projection + sort. `rows` (optional): a precomputed compacted shell
+    for the splat-probe path. Shading always reads the CURRENT
+    color/histogram through the voxel ids; staleness is confined to
+    candidate selection geometry.
 
     Returns (new_state, render [H, W, 3] u8, mask_g [H, W], misses)."""
     # ---- shell compaction once, shared probe <-> render ----
-    if rows is None:
+    if rows is None and cands is None:
         rows = _compact_shell(state.diff, state.vol_start, state.voxel,
                               state.nby, state.nbz, cfg.splat_max_blocks,
                               cfg.splat_max_rows, cfg.splat_shell_band)
@@ -155,16 +162,23 @@ def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
                                             e2i, intrinsic, cfg)
 
     # ---- render in the loop (viewer.cu orbit camera) ----
-    if not share_shell:
-        rows = _compact_shell(state.diff, state.vol_start, state.voxel,
-                              state.nby, state.nbz, cfg.splat_max_blocks,
-                              cfg.splat_max_rows, cfg.splat_shell_band)
     M, m4 = pinhole_of_orbit(angle, dist, intrinsic)
-    zbuf, vid, _, _ = _splat_from_rows(rows, M, m4, H, W,
-                                       cfg.splat_max_blocks,
-                                       cfg.splat_max_rows,
-                                       cfg.splat_max_surface,
-                                       cfg.splat_row_cap, fill=True)
+    if cands is not None:
+        zbuf, vid = splat_from_candidates(cands, state.vol_start,
+                                          state.voxel, state.nby,
+                                          state.nbz, M, m4, H, W,
+                                          fill=True)
+    else:
+        if not share_shell:
+            rows = _compact_shell(state.diff, state.vol_start, state.voxel,
+                                  state.nby, state.nbz,
+                                  cfg.splat_max_blocks,
+                                  cfg.splat_max_rows, cfg.splat_shell_band)
+        zbuf, vid, _, _ = _splat_from_rows(rows, M, m4, H, W,
+                                           cfg.splat_max_blocks,
+                                           cfg.splat_max_rows,
+                                           cfg.splat_max_surface,
+                                           cfg.splat_row_cap, fill=True)
     render = _shade(zbuf.reshape(H, W), vid.reshape(H, W), state.colorpk,
                     state.hist, render_mode)
     return state, render, mask_g, misses + overflow
@@ -211,20 +225,27 @@ class NorthStar:
             step(params, anchors, nwin, state, d, c, e, K, a, s),
             donate_argnums=(3,))
 
-        # shell_refresh_every > 1: the scan carries the compacted shell
-        # and recompacts every N frames (the shell feeds ONLY the render
-        # when probe_mode="depth" — geometry staleness bounded at N
-        # frames, shading always reads current color/histogram)
+        # shell_refresh_every > 1: the scan carries the render's
+        # CANDIDATE code set (splat.select_candidates — one i32 array)
+        # and refreshes it every N frames: the shell compaction AND the
+        # [max_rows, 128] projection + sort are skipped on carry frames;
+        # the codes are re-projected exactly with each frame's camera.
+        # Valid only with probe_mode="depth" (the shell feeds ONLY the
+        # render there); shading always reads current color/histogram.
         refresh = max(1, int(getattr(cfg, "shell_refresh_every", 1)))
         if refresh > 1:
             assert cfg.probe_mode == "depth", \
                 "shell_refresh_every > 1 would stale the splat probe; " \
                 "use probe_mode='depth'"
 
-        def _shell(st):
-            return _compact_shell(st.diff, st.vol_start, st.voxel,
+        def _candidates(st, angle, dist):
+            rows = _compact_shell(st.diff, st.vol_start, st.voxel,
                                   st.nby, st.nbz, cfg.splat_max_blocks,
                                   cfg.splat_max_rows, cfg.splat_shell_band)
+            M, m4 = pinhole_of_orbit(angle, dist, self.intrinsic)
+            codes, _ovf, _clip = select_candidates(rows, M, m4,
+                                                   cfg.splat_row_cap)
+            return codes
 
         def _scan_fused(state, depths, colors, es, K4, angles, dist,
                         masks=None, detect_ctx=None):
@@ -232,7 +253,7 @@ class NorthStar:
             refresh schedule. `masks` given: scan over precomputed masks
             (the batched-detect form); None: detect inside the loop using
             detect_ctx = (params, anchors, nwin)."""
-            def fuse_one(st, d, c, msk, e, a, rows):
+            def fuse_one(st, d, c, msk, e, a, cands=None):
                 if msk is None:
                     params, anchors, nwin = detect_ctx
                     msk = detect_mask_impl(model, params, anchors, nwin,
@@ -240,7 +261,7 @@ class NorthStar:
                                            self.mean_pixel)
                 return fuse_render_step_impl(
                     st, msk, d, c, e, K4, a, dist, cfg, H, W,
-                    share_shell, render_mode, rows=rows)
+                    share_shell, render_mode, cands=cands)
 
             xs = ((depths, colors, es, angles) if masks is None
                   else (depths, colors, masks, es, angles))
@@ -254,25 +275,27 @@ class NorthStar:
 
             if refresh <= 1:
                 def body(st, fr):
-                    st, render, mask_g, miss = fuse_one(st, *unpack(fr),
-                                                        rows=None)
+                    st, render, mask_g, miss = fuse_one(st, *unpack(fr))
                     return st, (render, mask_g, miss)
 
                 return jax.lax.scan(body, state, xs)
 
-            rows0 = _shell(state)
+            cands0 = _candidates(state, angles[0], dist)
             idxs = jnp.arange(depths.shape[0], dtype=jnp.int32)
 
             def body(carry, fr_i):
-                st, rows = carry
+                st, cands = carry
                 fr, i = fr_i[:-1], fr_i[-1]
-                rows = jax.lax.cond((i % refresh == 0) & (i > 0),
-                                    _shell, lambda _s: rows, st)
+                a = fr[-1]  # this frame's orbit angle
+                cands = jax.lax.cond(
+                    (i % refresh == 0) & (i > 0),
+                    lambda s: _candidates(s, a, dist),
+                    lambda _s: cands, st)
                 st, render, mask_g, miss = fuse_one(st, *unpack(fr),
-                                                    rows=rows)
-                return (st, rows), (render, mask_g, miss)
+                                                    cands=cands)
+                return (st, cands), (render, mask_g, miss)
 
-            (state, _), outs = jax.lax.scan(body, (state, rows0),
+            (state, _), outs = jax.lax.scan(body, (state, cands0),
                                             xs + (idxs,))
             return state, outs
 
