@@ -60,9 +60,10 @@ def main():
     ap.add_argument("--probe-mode", default="depth",
                     choices=("depth", "splat"))
     ap.add_argument("--vol", type=int, default=512)
-    ap.add_argument("--no-sparse", action="store_true",
-                    help="disable the sparse fuse main pass "
-                         "(FusionConfig.pallas_sparse) for A/B timing")
+    ap.add_argument("--sparse", action="store_true",
+                    help="enable the sparse fuse main pass for A/B "
+                         "timing (measured at parity with the dense "
+                         "grid — the production default is dense)")
     args = ap.parse_args()
 
     import numpy as np
@@ -96,7 +97,8 @@ def main():
                        pallas_rect_mid=(128, 384), mid_block_budget=1024,
                        probe_mode=args.probe_mode,
                        probe_stride=2 if args.probe_mode == "depth" else 1,
-                       pallas_sparse=not args.no_sparse)
+                       splat_row_cap=20,
+                       pallas_sparse=args.sparse)
     frames = make_sequence(default_scene(), K4, H, W, n_frames=4)
     state = init_blocked_from_first_frame(cfg, frames[0]["depth"], K4,
                                           frames[0]["mean_depth"])
@@ -204,10 +206,43 @@ def main():
     table["render"] = timeit("render", render_j, jnp.float32(0.3), rows,
                              state.colorpk, state.hist)
 
+    # ---- candidate render (the production chunk's per-frame form:
+    # the sorted/capped code set is carried and refreshed every
+    # cfg.shell_refresh_every frames; see splat.select_candidates) ----
+    from slam_maskrcnn_tpu.fusion.splat import (select_candidates,
+                                                splat_from_candidates)
+
+    @jax.jit
+    def select_j(rows_, ang):
+        M, m4 = pinhole_of_orbit(ang, dist, Kj)
+        return select_candidates(rows_, M, m4, cfg.splat_row_cap)[0]
+
+    cands = select_j(rows, jnp.float32(0.3))
+
+    def render_c(ang, cands_, cpk, h):
+        M, m4 = pinhole_of_orbit(ang, dist, Kj)
+        zbuf, vid2 = splat_from_candidates(
+            cands_, state.vol_start, state.voxel, state.nby, state.nbz,
+            M, m4, H, W, fill=True)
+        return _shade(zbuf.reshape(H, W), vid2.reshape(H, W), cpk, h,
+                      "instance")
+    table["render_cands"] = timeit("render(candidates)",
+                                   jax.jit(render_c), jnp.float32(0.31),
+                                   cands, state.colorpk, state.hist)
+
     stages = ["detect", "fuse", "shell", "probe", "probe_decode", "assoc",
               "render"]
     table["sum_ms"] = round(sum(table[s] for s in stages), 2)
     table["composed_fps_bound"] = round(1000.0 / table["sum_ms"], 2)
+    # each row above is an ISOLATED jit: chained dispatch through the
+    # axon relay adds ~3.5 ms per call even when batched (a trivial
+    # table-packing jit measures 3.8 ms — PERFORMANCE.md round 3b), so
+    # the sum overstates the composed one-jit frame; the bench's
+    # north_star row is the ground truth
+    table["dispatch_note"] = ("isolated-jit rows carry ~3.5 ms relay "
+                              "dispatch each; the composed chunk rate "
+                              "(bench.py north_star row) is the ground "
+                              "truth")
     with open(args.out, "w") as f:
         json.dump(table, f, indent=1)
     print(json.dumps(table), flush=True)
