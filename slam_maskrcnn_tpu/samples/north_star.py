@@ -189,7 +189,7 @@ def north_star_step_impl(model, params, anchors, nwin, state,
                          cfg: FusionConfig, H: int, W: int,
                          geom, mean_pixel,
                          share_shell: bool = True,
-                         render_mode: str = "instance"):
+                         render_mode: str = "instance", cands=None):
     """One full north-star frame (scan-able, all static shapes).
 
     Returns (new_state, render [H, W, 3] u8, mask_g [H, W], misses)."""
@@ -197,7 +197,7 @@ def north_star_step_impl(model, params, anchors, nwin, state,
                             H, W, geom, mean_pixel)
     return fuse_render_step_impl(state, mask, depth, color_bgr, e2i,
                                  intrinsic, angle, dist, cfg, H, W,
-                                 share_shell, render_mode)
+                                 share_shell, render_mode, cands=cands)
 
 
 class NorthStar:
@@ -224,6 +224,26 @@ class NorthStar:
             lambda params, anchors, nwin, state, d, c, e, K, a, s:
             step(params, anchors, nwin, state, d, c, e, K, a, s),
             donate_argnums=(3,))
+        # per-call twin taking a carried candidate set (see step())
+        self._step_cands = jax.jit(
+            lambda params, anchors, nwin, state, d, c, e, K, a, s, cn:
+            step(params, anchors, nwin, state, d, c, e, K, a, s,
+                 cands=cn),
+            donate_argnums=(3,))
+        from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import _block_dims
+        nbx, nby, nbz = _block_dims(cfg.vol_dim)
+
+        @jax.jit
+        def _refresh_cands(diff, vol_start, voxel, angle, dist):
+            rows = _compact_shell(diff, vol_start, voxel, nby, nbz,
+                                  cfg.splat_max_blocks, cfg.splat_max_rows,
+                                  cfg.splat_shell_band)
+            M, m4 = pinhole_of_orbit(angle, dist, self.intrinsic)
+            return select_candidates(rows, M, m4, cfg.splat_row_cap)[0]
+
+        self._refresh_cands = _refresh_cands
+        self._cands = None
+        self._step_i = 0
 
         # shell_refresh_every > 1: the scan carries the render's
         # CANDIDATE code set (splat.select_candidates — one i32 array)
@@ -325,11 +345,32 @@ class NorthStar:
         self._chunk_batched = jax.jit(chunk_batched, donate_argnums=(3,))
 
     def step(self, state, depth, color_bgr, e2i, angle, dist):
+        """One live frame. With cfg.shell_refresh_every > 1 (depth-probe
+        mode), the render's candidate set is cached host-side and
+        refreshed every N calls — the same amortization the chunk scan
+        carries in its state. Call reset_candidates() after swapping to
+        an unrelated volume."""
+        args = (state, jnp.asarray(depth), jnp.asarray(color_bgr),
+                jnp.asarray(e2i), self.intrinsic,
+                jnp.asarray(angle, jnp.float32),
+                jnp.asarray(dist, jnp.float32))
+        refresh = max(1, int(getattr(self.cfg, "shell_refresh_every", 1)))
+        if refresh > 1:
+            if self._cands is None or self._step_i % refresh == 0:
+                self._cands = self._refresh_cands(
+                    state.diff, state.vol_start, state.voxel,
+                    args[5], args[6])
+            self._step_i += 1
+            return self._step_cands(self.model.params, self.anchors,
+                                    self.nwin, *args, self._cands)
         return self._step(self.model.params, self.anchors, self.nwin,
-                          state, jnp.asarray(depth), jnp.asarray(color_bgr),
-                          jnp.asarray(e2i), self.intrinsic,
-                          jnp.asarray(angle, jnp.float32),
-                          jnp.asarray(dist, jnp.float32))
+                          *args)
+
+    def reset_candidates(self):
+        """Drop the per-call candidate cache (e.g. after re-initializing
+        the volume)."""
+        self._cands = None
+        self._step_i = 0
 
     def run_chunk(self, state, depths, colors, es, angles, dist):
         """One dispatch for a whole pre-staged frame stack ([N, ...]):

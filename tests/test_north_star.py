@@ -204,3 +204,24 @@ def test_north_star_shell_refresh_amortization():
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m3))
     frac = (np.asarray(r1) != np.asarray(r3)).mean()
     assert frac <= 0.02, f"stale-shell render delta too large: {frac}"
+
+    # the per-call path caches candidates host-side on the SAME schedule
+    # (refresh at calls 0, N, 2N ...) — outputs must match the chunk
+    ns3b = NorthStar(model, K4, cfg3, 96, 128)
+    st_p = jax.tree.map(lambda x: x.copy(), state)
+    renders_p = []
+    for i, (d, c, e) in enumerate(staged):
+        st_p, render, mg, miss = ns3b.step(st_p, d, c, e,
+                                           0.01 * (i + 1), dist)
+        renders_p.append(np.asarray(render))
+    np.testing.assert_array_equal(np.asarray(st3.weight),
+                                  np.asarray(st_p.weight))
+    # per-call detect is batch-1 (the chunk's is batch-N): a few mask
+    # border pixels flip, so hist compares loosely (same bound as the
+    # batched-vs-scan comparison above)
+    h3 = np.asarray(st3.hist).astype(np.int64)
+    hp = np.asarray(st_p.hist).astype(np.int64)
+    assert (h3 != hp).sum() <= h3.size * 1e-4
+    for i, r in enumerate(renders_p):
+        rc3 = np.asarray(r3[i])
+        assert (r != rc3).mean() <= 2e-3, (i, (r != rc3).mean())
