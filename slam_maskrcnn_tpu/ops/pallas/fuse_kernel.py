@@ -62,6 +62,15 @@ BLOCK_VOX = BX * BY * BZ  # 2048
 TILE_S, TILE_L = 16, 128
 RECT_H, RECT_W = 128, 256  # 128-lane-aligned DMA starts need 128 slack in w
 GROUP = 16  # blocks per grid step
+# DMA pipeline depth: copies for grid step s+NSLOT-1 are issued during
+# step s (scratch slot = step % NSLOT). Measured at 512^3: depth 2
+# recovered ~2 ms; depth 3 was NEUTRAL (30.0 vs 29.9 ms) — so the
+# 11.6 ms gather_nodma delta is not landing latency but DMA *op count*
+# (~350 ns per start/wait across 2 copies x 8k visible blocks, measured
+# by elimination). The lever that would cut it is one SHARED rect DMA
+# per 16-block z-column group (their footprints overlap heavily) with
+# per-block row windows into the shared scratch — future work.
+NSLOT = 2
 
 
 class BlockedTSDFState(struct.PyTreeNode):
@@ -512,7 +521,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     supported cast direction."""
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
-    slot = jax.lax.rem(step, 2)
+    slot = jax.lax.rem(step, NSLOT)
 
     ax = [params_ref[i] for i in range(3)]        # E[:,0] * voxel.x
     ay = [params_ref[3 + i] for i in range(3)]    # E[:,1] * voxel.y
@@ -581,12 +590,16 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     @pl.when(step == 0)
     def _():
         miss_ref[0, 0] = 0
-        # prologue: group 0's DMAs (afterwards, group s+1's copies are
-        # issued INSIDE group s's block loop — one fori visit per block
-        # instead of two; the visits are ~100 ns of SMEM-read+branch each
-        # and were half the 512^3 zero-visible floor)
-        jax.lax.fori_loop(
-            0, group, lambda g, _: (_issue_one(g, g, 0), 0)[1], 0)
+        # prologue: the first NSLOT-1 groups' DMAs (afterwards, group
+        # s+NSLOT-1's copies are issued INSIDE group s's block loop)
+        def _pro(g, _):
+            for w in range(NSLOT - 1):
+                @pl.when(w * group + g < nsteps * group)
+                def _():
+                    _issue_one(w * group + g, g, w)
+            return 0
+
+        jax.lax.fori_loop(0, group, _pro, 0)
 
     # per-voxel coordinates in the native (16, 128) tile layout
     # (all VPU math runs here; earlier versions computed in a (2048, 1)
@@ -623,12 +636,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
         blk = step * group + g
         hid = _hist_id(blk)
 
-        # issue lane g of the NEXT group's DMAs first (merged prefetch:
-        # same one-group lookahead as a separate issue loop, half the
-        # per-block loop visits)
-        @pl.when(step + 1 < nsteps)
+        # issue lane g of group step+NSLOT-1's DMAs first (merged
+        # prefetch: the copies get NSLOT-1 groups of compute to land in,
+        # and the per-block loop is visited once, not twice)
+        @pl.when(step + (NSLOT - 1) < nsteps)
         def _():
-            _issue_one(blk + group, g, jax.lax.rem(step + 1, 2))
+            _issue_one(blk + (NSLOT - 1) * group, g,
+                       jax.lax.rem(step + (NSLOT - 1), NSLOT))
 
         # state accessors: VMEM staging slots in state_hbm mode (filled by
         # the prefetch DMAs), BlockSpec-streamed blocks otherwise
@@ -1033,16 +1047,17 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                # leading dim 2 = the double-buffer slots (one-step-ahead
-                # DMA prefetch; slot = grid step % 2)
-                pltpu.VMEM((2, GROUP, 2 * rect_h, rect_w), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2, GROUP)),
-                pltpu.VMEM((2, GROUP, HRK, TILE_L), b.hist.dtype),
-                pltpu.SemaphoreType.DMA((2, GROUP)),
-                pltpu.VMEM((2, GROUP, TILE_S, TILE_L), jnp.float32),
-                pltpu.VMEM((2, GROUP, TILE_S, TILE_L), jnp.float32),
-                pltpu.VMEM((2, GROUP, TILE_S, TILE_L), jnp.int32),
-                pltpu.SemaphoreType.DMA((3, 2, GROUP)),
+                # leading dim NSLOT = the DMA pipeline slots
+                # (slot = grid step % NSLOT; copies issued NSLOT-1 ahead)
+                pltpu.VMEM((NSLOT, GROUP, 2 * rect_h, rect_w),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((2, NSLOT, GROUP)),
+                pltpu.VMEM((NSLOT, GROUP, HRK, TILE_L), b.hist.dtype),
+                pltpu.SemaphoreType.DMA((NSLOT, GROUP)),
+                pltpu.VMEM((NSLOT, GROUP, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((NSLOT, GROUP, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((NSLOT, GROUP, TILE_S, TILE_L), jnp.int32),
+                pltpu.SemaphoreType.DMA((3, NSLOT, GROUP)),
             ],
         )
 
@@ -1161,17 +1176,17 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                # double-buffer slots, as in the dense grid spec
-                pltpu.VMEM((2, grp, 2 * rh, rw), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2, grp)),
+                # DMA pipeline slots, as in the dense grid spec
+                pltpu.VMEM((NSLOT, grp, 2 * rh, rw), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, NSLOT, grp)),
                 # hist staging slots (hbm mode); positionally required
-                pltpu.VMEM((2, grp, HRK2, TILE_L), b.hist.dtype),
-                pltpu.SemaphoreType.DMA((2, grp)),
+                pltpu.VMEM((NSLOT, grp, HRK2, TILE_L), b.hist.dtype),
+                pltpu.SemaphoreType.DMA((NSLOT, grp)),
                 # state staging slots (state_hbm mode)
-                pltpu.VMEM((2, grp, TILE_S, TILE_L), jnp.float32),
-                pltpu.VMEM((2, grp, TILE_S, TILE_L), jnp.float32),
-                pltpu.VMEM((2, grp, TILE_S, TILE_L), jnp.int32),
-                pltpu.SemaphoreType.DMA((3, 2, grp)),
+                pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.int32),
+                pltpu.SemaphoreType.DMA((3, NSLOT, grp)),
             ],
         )
         da = new_diff if st_hbm else new_diff[idc]
