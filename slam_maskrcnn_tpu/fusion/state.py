@@ -123,6 +123,16 @@ class FusionConfig:
     # overhead roughly cancels the win. See ops/pallas/fuse_kernel.py.
     pallas_sparse: bool = False
     vis_block_budget: int = 16384
+    # Banded rect table ("gather" lookup only): the two packed frame
+    # tables (depth+mask, color) interleave in 8-row bands inside ONE
+    # [2H, W] table, so each visible block issues ONE rect DMA instead
+    # of two. Bit-exact, and measured NEUTRAL at 512^3 (29.9 vs 29.8 ms)
+    # — which pins the fuse kernel's 11.6 ms rect-DMA cost to the number
+    # of strided ROWS copied (~15 ns/row x 96 rows x 8k blocks), not to
+    # DMA start/wait count (this halved it) nor landing latency
+    # (pipeline depth 3 was neutral too). Kept as the measurement's
+    # executable record; the row-count lever is a group-shared rect.
+    pallas_banded_rect: bool = False
     # State (diff/colorpk/weight) HBM-resident with true-id manual DMA —
     # the same scheme the histogram already uses; bytes move only for
     # non-identity blocks (free: diff+weight; full: all three). Measured:

@@ -420,6 +420,43 @@ def _rect_lookup_gather(rect12_ref, vl, ul, ok,
     return (jnp.concatenate(rows1, axis=0), jnp.concatenate(rows2, axis=0))
 
 
+def _rect_lookup_gather_banded(rect12_ref, vl, ul, ok,
+                               rect_h: int, rect_w: int):
+    """_rect_lookup_gather over the BANDED table layout: table-1 row v
+    lives at banded row (v // 8) * 16 + v % 8, table-2 at +8 (the two
+    packed frame tables interleave in 8-row bands so ONE rect DMA serves
+    both — the DMA cost is per-START, not per-byte). Same gather count;
+    the v one-hot matches the banded row ids and the two accumulators
+    split by band parity via a sublane reshape."""
+    H2 = 2 * rect_h
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (H2, TILE_L), 0)
+    nb2 = H2 // 16
+    rows1, rows2 = [], []
+    for s in range(TILE_S):
+        ul_row = jnp.broadcast_to(ul[s:s + 1, :], (H2, TILE_L))
+        vl_row = jnp.broadcast_to(vl[s:s + 1, :], (H2, TILE_L))
+        ok_row = jnp.broadcast_to(ok[s:s + 1, :], (H2, TILE_L))
+        # banded target rows: r1 = v + 8*(v//8), r2 = r1 + 8
+        vb = vl_row + ((vl_row >> 3) << 3)
+        vmask = (((v_iota == vb) | (v_iota == vb + 8))
+                 & ok_row).astype(jnp.float32)
+        acc1 = jnp.zeros((1, TILE_L), jnp.float32)
+        acc2 = jnp.zeros((1, TILE_L), jnp.float32)
+        for c in range(0, rect_w, TILE_L):
+            idx = jnp.clip(ul_row - c, 0, TILE_L - 1)
+            mc = vmask * (ul_row // TILE_L == c // TILE_L).astype(jnp.float32)
+            g12 = jnp.take_along_axis(rect12_ref[:, c:c + TILE_L], idx,
+                                      axis=1)
+            prod = (g12 * mc).reshape(nb2, 16, TILE_L)
+            acc1 = acc1 + jnp.sum(prod[:, :8], axis=(0, 1), keepdims=False
+                                  ).reshape(1, TILE_L)
+            acc2 = acc2 + jnp.sum(prod[:, 8:], axis=(0, 1), keepdims=False
+                                  ).reshape(1, TILE_L)
+        rows1.append(acc1)
+        rows2.append(acc2)
+    return (jnp.concatenate(rows1, axis=0), jnp.concatenate(rows2, axis=0))
+
+
 def _rect_lookup_matmul(rect1, rect2, vl, ul, ok, rh_i,
                         rect_h: int, rect_w: int):
     """Per-voxel rect lookup via one-hot int8 MXU matmul (the original
@@ -491,7 +528,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  color_diff_gate: float, depth_scale: float,
                  group: int = GROUP, coords: str = "arith",
                  lookup: str = "gather", hist_hbm: bool = False,
-                 state_hbm: bool = False,
+                 state_hbm: bool = False, banded: bool = False,
                  uniform_skip: bool = True):
     # hist_hbm: the histogram (the bulk of state bytes — 64-128 B/voxel
     # vs 12 for diff+color+wt) stays in HBM (pl.ANY, aliased in place)
@@ -569,7 +606,17 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
         def _():
             v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
             u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
-            if lookup != "gather_nodma":  # ablation: no rect DMAs
+            if lookup == "gather_nodma":  # ablation: no rect DMAs
+                pass
+            elif banded:
+                # ONE copy serves both tables (8-row bands interleaved):
+                # banded rows [2*v0, 2*v0 + 2*rect_h) hold original rows
+                # [v0, v0 + rect_h) of each table
+                pltpu.make_async_copy(
+                    pk1_hbm.at[pl.ds(pl.multiple_of(2 * v0, 16),
+                                     2 * rect_h), pl.ds(u0, rect_w)],
+                    rect12.at[gslot, g], sems.at[0, gslot, g]).start()
+            else:
                 pltpu.make_async_copy(
                     pk1_hbm.at[pl.ds(v0, rect_h), pl.ds(u0, rect_w)],
                     rect12.at[gslot, g, pl.ds(0, rect_h)],
@@ -761,7 +808,14 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
             a0a = pl.multiple_of(oa0, 8)
             b0a = pl.multiple_of(ob0, 128)
-            if lookup != "gather_nodma":
+            if lookup == "gather_nodma":
+                pass
+            elif banded:
+                pltpu.make_async_copy(
+                    pk1_hbm.at[pl.ds(pl.multiple_of(2 * a0a, 16),
+                                     2 * rect_h), pl.ds(b0a, rect_w)],
+                    rect12.at[slot, g], sems.at[0, slot, g]).wait()
+            else:
                 pltpu.make_async_copy(pk1_hbm.at[pl.ds(a0a, rect_h),
                                                  pl.ds(b0a, rect_w)],
                                       rect12.at[slot, g, pl.ds(0, rect_h)],
@@ -803,7 +857,15 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             # counter above is branch-independent. `uniform_skip` gates
             # the whole scheme for A/B timing.
             if uniform_skip:
-                d_tab = jnp.mod(rect12[slot, g, :rect_h], 65536.0)
+                if banded:
+                    # depth rows are the even 8-row bands, in original
+                    # row order once de-interleaved
+                    d_tab = rect12[slot, g].reshape(
+                        (2 * rect_h) // 16, 16, rect_w)[:, :8].reshape(
+                        rect_h, rect_w)
+                    d_tab = jnp.mod(d_tab, 65536.0)
+                else:
+                    d_tab = jnp.mod(rect12[slot, g, :rect_h], 65536.0)
                 row_i = jax.lax.broadcasted_iota(jnp.int32,
                                                  (rect_h, rect_w), 0)
                 col_i = jax.lax.broadcasted_iota(jnp.int32,
@@ -844,7 +906,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
             @pl.when(~behind & ~free)
             def _():
-                if lookup in ("gather", "gather_t", "gather_nodma"):
+                if banded:
+                    val1, val2 = _rect_lookup_gather_banded(
+                        rect12.at[slot, g], al, bl, ok, rect_h, rect_w)
+                elif lookup in ("gather", "gather_t", "gather_nodma"):
                     val1, val2 = _rect_lookup_gather(
                         rect12.at[slot, g], al, bl, ok, rect_h, rect_w)
                 elif lookup == "none":  # ablation only (WRONG math)
@@ -1013,13 +1078,29 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     interpret = jax.default_backend() == "cpu"
     sparse = getattr(cfg, "pallas_sparse", False)
     state_hbm = getattr(cfg, "pallas_state_hbm", True) and not sparse
+    banded = (lookup == "gather"
+              and getattr(cfg, "pallas_banded_rect", False))
+    if banded:
+        # pad to the largest window any pass needs, then interleave the
+        # two packed tables in 8-row bands ONCE — every pass's rect DMA
+        # becomes a single copy (see FusionConfig.pallas_banded_rect)
+        fh = max((Hp + 7) // 8 * 8, rect_mid[0])
+        fw = max((Wp + 127) // 128 * 128, rect_mid[1])
+        if (fh, fw) != (Hp, Wp):
+            pk1 = jnp.pad(pk1, ((0, fh - Hp), (0, fw - Wp)))
+            pk2 = jnp.pad(pk2, ((0, fh - Hp), (0, fw - Wp)))
+            Hp, Wp = fh, fw
+        pk12 = jnp.stack([pk1.reshape(Hp // 8, 8, Wp),
+                          pk2.reshape(Hp // 8, 8, Wp)],
+                         axis=1).reshape(2 * Hp, Wp)
+        pk1 = pk2 = pk12
 
     if not sparse:
         kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
                        rect_h=rect_h, rect_w=rect_w,
                        color_diff_gate=cfg.color_diff_gate,
                        depth_scale=cfg.depth_scale, group=GROUP,
-                       lookup=lookup, hist_hbm=True,
+                       lookup=lookup, hist_hbm=True, banded=banded,
                        state_hbm=state_hbm, uniform_skip=uniform_skip)
 
         if state_hbm:
@@ -1147,7 +1228,8 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                          color_diff_gate=cfg.color_diff_gate,
                          depth_scale=cfg.depth_scale, group=grp,
                          coords="smem", lookup=lookup, hist_hbm=hist_hbm,
-                         state_hbm=st_hbm, uniform_skip=uniform_skip)
+                         banded=banded, state_hbm=st_hbm,
+                         uniform_skip=uniform_skip)
         hist_spec = (pl.BlockSpec(memory_space=pl.ANY) if hist_hbm
                      else pl.BlockSpec((grp, HRK2, TILE_L),
                                        lambda i, o: (i, 0, 0),

@@ -213,6 +213,41 @@ def test_sparse_budget_overflow_counts_misses():
     assert int(m_s) >= BLOCK_VOX, f"expected whole-block misses, got {m_s}"
 
 
+def test_banded_rect_matches_plain():
+    """pallas_banded_rect=True (both packed tables in ONE 8-row-banded
+    DMA per block) must be bit-exact vs the two-copy layout, including
+    the camera-inside pass-B path."""
+    cfg_b = FusionConfig(vol_dim=(32, 32, 32), hist_dtype=jnp.uint16,
+                         pallas_rect=(128, 256), pallas_banded_rect=True)
+    frames = _frames(3)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    b_p = to_blocked(init_from_first_frame(CFG, depth0, K4, md), CFG)
+    b_b = to_blocked(init_from_first_frame(cfg_b, depth0, K4, md), cfg_b)
+    E0inv = np.linalg.inv(frames[0][3])
+    poses = [jnp.asarray((E @ E0inv).astype(np.float32))
+             for *_ignore, E in frames]
+    # last frame: camera at the volume center (pass-B straddlers)
+    center = 0.5 * (np.asarray(b_p.vol_start) + np.asarray(b_p.vol_end))
+    Ein = np.eye(4, dtype=np.float32)
+    Ein[:3, 3] = -center
+    poses[-1] = jnp.asarray(Ein)
+    for (depth, img, mask, _E), e2i in zip(frames, poses):
+        args = (jnp.asarray(depth), jnp.asarray(img), jnp.asarray(mask),
+                e2i, jnp.asarray(K4))
+        b_p, m_p = fuse_frame_blocked(b_p, *args, CFG)
+        b_b, m_b = fuse_frame_blocked(b_b, *args, cfg_b)
+        assert int(m_p) == int(m_b) == 0
+    np.testing.assert_array_equal(np.asarray(b_b.weight),
+                                  np.asarray(b_p.weight))
+    np.testing.assert_array_equal(np.asarray(b_b.hist),
+                                  np.asarray(b_p.hist))
+    np.testing.assert_array_equal(np.asarray(b_b.colorpk),
+                                  np.asarray(b_p.colorpk))
+    np.testing.assert_array_equal(np.asarray(b_b.diff),
+                                  np.asarray(b_p.diff))
+
+
 def test_invisible_blocks_are_skipped_correctly():
     """Camera looking away: no voxel is visible; the state must be
     unchanged except n_obs (identity update via the visibility skip)."""
