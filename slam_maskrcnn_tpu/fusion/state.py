@@ -133,6 +133,17 @@ class FusionConfig:
     # (pipeline depth 3 was neutral too). Kept as the measurement's
     # executable record; the row-count lever is a group-shared rect.
     pallas_banded_rect: bool = False
+    # Frame table resident in VMEM ("gather" lookup): the banded packed
+    # table is ~2.4-2.9 MB at 480x640 — it fits VMEM whole. One DMA per
+    # PASS loads it; every visible block then reads its rect window as a
+    # dynamic-offset vector load (Mosaic supports tile-aligned dynamic
+    # starts on both dims at the same cost as static reads — measured)
+    # instead of a per-block HBM rect DMA. Kills the fuse kernel's
+    # ~11.6 ms/frame strided-row DMA cost at 512^3 (the round-3 closing
+    # ablation's residual). Bit-exact: identical window semantics. Falls
+    # back to per-block DMAs when the padded table exceeds ~12 MB or for
+    # the full-image pass B (whose window would blow the vreg budget).
+    pallas_frame_vmem: bool = True
     # State (diff/colorpk/weight) HBM-resident with true-id manual DMA —
     # the same scheme the histogram already uses; bytes move only for
     # non-identity blocks (free: diff+weight; full: all three). Measured:

@@ -529,7 +529,14 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  group: int = GROUP, coords: str = "arith",
                  lookup: str = "gather", hist_hbm: bool = False,
                  state_hbm: bool = False, banded: bool = False,
-                 uniform_skip: bool = True):
+                 frame_vmem: bool = False, uniform_skip: bool = True):
+    # frame_vmem: the whole banded packed table lives in VMEM (the rect12
+    # scratch slot holds it; ONE table DMA at grid step 0) and each
+    # visible block reads its [2*rect_h, rect_w] window as a
+    # dynamic-offset vector load — no per-block rect DMA at all. Measured
+    # motivation: the per-block strided-row DMAs cost ~15 ns/row
+    # (~11.6 ms/frame at 512^3) while tile-aligned dynamic VMEM reads
+    # cost the same as static reads (PERFORMANCE.md round 4).
     # hist_hbm: the histogram (the bulk of state bytes — 64-128 B/voxel
     # vs 12 for diff+color+wt) stays in HBM (pl.ANY, aliased in place)
     # and moves by manual DMA: read only for VISIBLE blocks, written only
@@ -606,8 +613,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
         def _():
             v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
             u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
-            if lookup == "gather_nodma":  # ablation: no rect DMAs
-                pass
+            if lookup == "gather_nodma" or frame_vmem:
+                pass  # no per-block rect DMAs in these modes
             elif banded:
                 # ONE copy serves both tables (8-row bands interleaved):
                 # banded rows [2*v0, 2*v0 + 2*rect_h) hold original rows
@@ -637,6 +644,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     @pl.when(step == 0)
     def _():
         miss_ref[0, 0] = 0
+        if frame_vmem:
+            # load the WHOLE banded table into VMEM once per pass
+            # (~2.9 MB, a one-off ~4 us): every block's window is then a
+            # dynamic-offset vector read
+            cp = pltpu.make_async_copy(pk1_hbm, rect12, sems)
+            cp.start()
+            cp.wait()
         # prologue: the first NSLOT-1 groups' DMAs (afterwards, group
         # s+NSLOT-1's copies are issued INSIDE group s's block loop)
         def _pro(g, _):
@@ -808,7 +822,16 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
             a0a = pl.multiple_of(oa0, 8)
             b0a = pl.multiple_of(ob0, 128)
-            if lookup == "gather_nodma":
+            win = None
+            if frame_vmem:
+                # the block's banded window, read straight out of the
+                # VMEM-resident table: banded rows [2*a0, 2*a0 + 2*rect_h)
+                # hold original rows [a0, a0 + rect_h) of both tables.
+                # ~98 KB as a value at the (48, 256) pass-A rect — lives
+                # in vregs/VMEM temporaries, no DMA.
+                win = rect12[pl.ds(pl.multiple_of(2 * a0a, 16),
+                                   2 * rect_h), pl.ds(b0a, rect_w)]
+            elif lookup == "gather_nodma":
                 pass
             elif banded:
                 pltpu.make_async_copy(
@@ -857,7 +880,12 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             # counter above is branch-independent. `uniform_skip` gates
             # the whole scheme for A/B timing.
             if uniform_skip:
-                if banded:
+                if frame_vmem:
+                    d_tab = win.reshape(
+                        (2 * rect_h) // 16, 16, rect_w)[:, :8].reshape(
+                        rect_h, rect_w)
+                    d_tab = jnp.mod(d_tab, 65536.0)
+                elif banded:
                     # depth rows are the even 8-row bands, in original
                     # row order once de-interleaved
                     d_tab = rect12[slot, g].reshape(
@@ -906,7 +934,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
             @pl.when(~behind & ~free)
             def _():
-                if banded:
+                if frame_vmem:
+                    val1, val2 = _rect_lookup_gather_banded(
+                        win, al, bl, ok, rect_h, rect_w)
+                elif banded:
                     val1, val2 = _rect_lookup_gather_banded(
                         rect12.at[slot, g], al, bl, ok, rect_h, rect_w)
                 elif lookup in ("gather", "gather_t", "gather_nodma"):
@@ -1077,13 +1108,24 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     uniform_skip = getattr(cfg, "pallas_uniform_skip", True)
     interpret = jax.default_backend() == "cpu"
     sparse = getattr(cfg, "pallas_sparse", False)
-    state_hbm = getattr(cfg, "pallas_state_hbm", True) and not sparse
+    state_hbm = cfg.pallas_state_hbm and not sparse
     banded = (lookup == "gather"
               and getattr(cfg, "pallas_banded_rect", False))
-    if banded:
+    frame_vmem = (lookup == "gather" and not banded
+                  and getattr(cfg, "pallas_frame_vmem", True))
+    if frame_vmem:
+        # size gate: the VMEM-resident table must leave room for the
+        # hist/state scratch (~12 MB of a 100 MB budget is generous)
+        fh = max((Hp + 7) // 8 * 8, rect_mid[0])
+        fw = max((Wp + 127) // 128 * 128, rect_mid[1])
+        if 2 * fh * fw * 4 > 12 * 1024 * 1024:
+            frame_vmem = False
+    if banded or frame_vmem:
         # pad to the largest window any pass needs, then interleave the
         # two packed tables in 8-row bands ONCE — every pass's rect DMA
-        # becomes a single copy (see FusionConfig.pallas_banded_rect)
+        # becomes a single copy (banded mode), or the whole table loads
+        # into VMEM once per pass and blocks read dynamic-offset windows
+        # (frame_vmem mode; see FusionConfig.pallas_frame_vmem)
         fh = max((Hp + 7) // 8 * 8, rect_mid[0])
         fw = max((Wp + 127) // 128 * 128, rect_mid[1])
         if (fh, fw) != (Hp, Wp):
@@ -1101,6 +1143,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                        color_diff_gate=cfg.color_diff_gate,
                        depth_scale=cfg.depth_scale, group=GROUP,
                        lookup=lookup, hist_hbm=True, banded=banded,
+                       frame_vmem=frame_vmem,
                        state_hbm=state_hbm, uniform_skip=uniform_skip)
 
         if state_hbm:
@@ -1128,11 +1171,13 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                # leading dim NSLOT = the DMA pipeline slots
-                # (slot = grid step % NSLOT; copies issued NSLOT-1 ahead)
-                pltpu.VMEM((NSLOT, GROUP, 2 * rect_h, rect_w),
-                           jnp.float32),
-                pltpu.SemaphoreType.DMA((2, NSLOT, GROUP)),
+                # slot 0: per-block rect windows (DMA modes) OR the whole
+                # VMEM-resident banded table (frame_vmem mode)
+                (pltpu.VMEM(pk1.shape, jnp.float32) if frame_vmem
+                 else pltpu.VMEM((NSLOT, GROUP, 2 * rect_h, rect_w),
+                                 jnp.float32)),
+                (pltpu.SemaphoreType.DMA if frame_vmem
+                 else pltpu.SemaphoreType.DMA((2, NSLOT, GROUP))),
                 pltpu.VMEM((NSLOT, GROUP, HRK, TILE_L), b.hist.dtype),
                 pltpu.SemaphoreType.DMA((NSLOT, GROUP)),
                 pltpu.VMEM((NSLOT, GROUP, TILE_S, TILE_L), jnp.float32),
@@ -1192,7 +1237,8 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     HRK2 = BLOCK_VOX * K // TILE_L
 
     def compacted_pass(state_arrays, flags, origs, rect, budget, grp,
-                       codes=None, hist_hbm=False, st_hbm=False):
+                       codes=None, hist_hbm=False, st_hbm=False,
+                       fv=False, band=False):
         """Fuse the `flags` blocks (up to `budget`) with a `rect`-sized
         window at per-slot origins. Returns (updated arrays, misses,
         whole-block overflow count).
@@ -1228,7 +1274,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                          color_diff_gate=cfg.color_diff_gate,
                          depth_scale=cfg.depth_scale, group=grp,
                          coords="smem", lookup=lookup, hist_hbm=hist_hbm,
-                         banded=banded, state_hbm=st_hbm,
+                         banded=band, frame_vmem=fv, state_hbm=st_hbm,
                          uniform_skip=uniform_skip)
         hist_spec = (pl.BlockSpec(memory_space=pl.ANY) if hist_hbm
                      else pl.BlockSpec((grp, HRK2, TILE_L),
@@ -1258,9 +1304,12 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                # DMA pipeline slots, as in the dense grid spec
-                pltpu.VMEM((NSLOT, grp, 2 * rh, rw), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, NSLOT, grp)),
+                # DMA pipeline slots, as in the dense grid spec — or the
+                # VMEM-resident table in frame_vmem mode
+                (pltpu.VMEM(pk1.shape, jnp.float32) if fv
+                 else pltpu.VMEM((NSLOT, grp, 2 * rh, rw), jnp.float32)),
+                (pltpu.SemaphoreType.DMA if fv
+                 else pltpu.SemaphoreType.DMA((2, NSLOT, grp))),
                 # hist staging slots (hbm mode); positionally required
                 pltpu.VMEM((NSLOT, grp, HRK2, TILE_L), b.hist.dtype),
                 pltpu.SemaphoreType.DMA((NSLOT, grp)),
@@ -1312,13 +1361,18 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         arrays, miss0, over0 = compacted_pass(
             arrays, o3[:, 2] > 0, o3[:, :2].reshape(-1),
             (rect_h, rect_w), BV, GROUP, codes=o3[:, 2], hist_hbm=True,
-            st_hbm=getattr(cfg, "pallas_state_hbm", True))
+            st_hbm=cfg.pallas_state_hbm, fv=frame_vmem, band=banded)
     BM = min(getattr(cfg, "mid_block_budget", 2048), NB)
     arrays, miss_m, over_m = compacted_pass(
-        arrays, flag_mid, origins_mid, rect_mid, BM, 8)
+        arrays, flag_mid, origins_mid, rect_mid, BM, 8,
+        fv=frame_vmem, band=banded)
     B2 = min(getattr(cfg, "near_block_budget", 128), NB)
+    # pass B's full-image window would blow the vreg budget as a value —
+    # it keeps the per-block DMA form (banded single-copy when the table
+    # was banded for frame_vmem)
     arrays, miss_b, over_b = compacted_pass(
-        arrays, flag_full, None, (fr_h, fr_w), B2, 2)
+        arrays, flag_full, None, (fr_h, fr_w), B2, 2,
+        fv=False, band=banded or frame_vmem)
     new_diff, new_cpk, new_wt, new_hist = arrays
 
     new_state = b.replace(diff=new_diff, colorpk=new_cpk, weight=new_wt,

@@ -239,10 +239,13 @@ class NorthStar:
                                   cfg.splat_max_blocks, cfg.splat_max_rows,
                                   cfg.splat_shell_band)
             M, m4 = pinhole_of_orbit(angle, dist, self.intrinsic)
-            return select_candidates(rows, M, m4, cfg.splat_row_cap)[0]
+            codes, ovf, _clip = select_candidates(rows, M, m4,
+                                                  cfg.splat_row_cap)
+            return codes, ovf
 
         self._refresh_cands = _refresh_cands
         self._cands = None
+        self._cands_ovf = None
         self._step_i = 0
 
         # shell_refresh_every > 1: the scan carries the render's
@@ -259,13 +262,19 @@ class NorthStar:
                 "use probe_mode='depth'"
 
         def _candidates(st, angle, dist):
+            # returns (codes, overflow): overflow is HARD loss (shell
+            # block/row budget exceeded before selection) and feeds the
+            # refresh frame's miss channel — the no-silent-caps
+            # convention. `clip` (row-cap'd z-order-redundant entries) is
+            # discarded here like the probe paths discard theirs; it is
+            # quantified by the cap-agreement sweeps (PERFORMANCE.md).
             rows = _compact_shell(st.diff, st.vol_start, st.voxel,
                                   st.nby, st.nbz, cfg.splat_max_blocks,
                                   cfg.splat_max_rows, cfg.splat_shell_band)
             M, m4 = pinhole_of_orbit(angle, dist, self.intrinsic)
-            codes, _ovf, _clip = select_candidates(rows, M, m4,
-                                                   cfg.splat_row_cap)
-            return codes
+            codes, ovf, _clip = select_candidates(rows, M, m4,
+                                                  cfg.splat_row_cap)
+            return codes, ovf
 
         def _scan_fused(state, depths, colors, es, K4, angles, dist,
                         masks=None, detect_ctx=None):
@@ -300,20 +309,22 @@ class NorthStar:
 
                 return jax.lax.scan(body, state, xs)
 
-            cands0 = _candidates(state, angles[0], dist)
+            cands0, cands_ovf0 = _candidates(state, angles[0], dist)
             idxs = jnp.arange(depths.shape[0], dtype=jnp.int32)
 
             def body(carry, fr_i):
                 st, cands = carry
                 fr, i = fr_i[:-1], fr_i[-1]
                 a = fr[-1]  # this frame's orbit angle
-                cands = jax.lax.cond(
+                cands, cands_ovf = jax.lax.cond(
                     (i % refresh == 0) & (i > 0),
                     lambda s: _candidates(s, a, dist),
-                    lambda _s: cands, st)
+                    lambda _s: (cands, jnp.zeros((), jnp.int32)), st)
+                # frame 0's refresh overflow lands on frame 0
+                cands_ovf = jnp.where(i == 0, cands_ovf0, cands_ovf)
                 st, render, mask_g, miss = fuse_one(st, *unpack(fr),
                                                     cands=cands)
-                return (st, cands), (render, mask_g, miss)
+                return (st, cands), (render, mask_g, miss + cands_ovf)
 
             (state, _), outs = jax.lax.scan(body, (state, cands0),
                                             xs + (idxs,))
@@ -357,12 +368,16 @@ class NorthStar:
         refresh = max(1, int(getattr(self.cfg, "shell_refresh_every", 1)))
         if refresh > 1:
             if self._cands is None or self._step_i % refresh == 0:
-                self._cands = self._refresh_cands(
+                self._cands, self._cands_ovf = self._refresh_cands(
                     state.diff, state.vol_start, state.voxel,
                     args[5], args[6])
             self._step_i += 1
-            return self._step_cands(self.model.params, self.anchors,
-                                    self.nwin, *args, self._cands)
+            st, render, mask_g, miss = self._step_cands(
+                self.model.params, self.anchors, self.nwin, *args,
+                self._cands)
+            # surface the cached candidate set's hard overflow (shell
+            # budget loss) into this frame's miss channel
+            return st, render, mask_g, miss + self._cands_ovf
         return self._step(self.model.params, self.anchors, self.nwin,
                           *args)
 
@@ -370,6 +385,7 @@ class NorthStar:
         """Drop the per-call candidate cache (e.g. after re-initializing
         the volume)."""
         self._cands = None
+        self._cands_ovf = None
         self._step_i = 0
 
     def run_chunk(self, state, depths, colors, es, angles, dist):
@@ -384,8 +400,10 @@ class NorthStar:
     def run_chunk_batched(self, state, depths, colors, es, angles, dist):
         """run_chunk with detect hoisted out of the scan as ONE batched
         model apply over the chunk's N frames (see
-        detect_mask_batched_impl): identical outputs, but the detect
-        schedule floor is paid once per chunk instead of once per frame.
+        detect_mask_batched_impl): near-identical outputs (XLA's batch-N
+        conv lowering can flip a few mask border pixels vs batch-1 —
+        bounded in tests/test_north_star.py), and the detect schedule
+        floor is paid once per chunk instead of once per frame.
         Adds N frames of latency (a live loop holds frames until the
         chunk fills) — the same throughput-vs-latency trade as run_chunk
         itself."""

@@ -190,6 +190,32 @@ def test_sparse_main_pass_matches_dense():
                                   np.asarray(b_d.diff))
 
 
+def test_sparse_state_hbm_matches_dense():
+    """pallas_sparse + pallas_state_hbm=True — the pairing the config
+    docs recommend (HBM-resident diff/colorpk/weight with true-id manual
+    DMA inside the compacted pass) — must also be bit-exact vs the dense
+    grid (ADVICE r3: these kernel branches shipped untested)."""
+    cfg_s = FusionConfig(vol_dim=(32, 32, 32), hist_dtype=jnp.uint16,
+                         pallas_rect=(128, 256), pallas_sparse=True,
+                         pallas_state_hbm=True)
+    frames = _frames(3)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    b_d = to_blocked(init_from_first_frame(CFG, depth0, K4, md), CFG)
+    b_s = to_blocked(init_from_first_frame(cfg_s, depth0, K4, md), cfg_s)
+    E0inv = np.linalg.inv(frames[0][3])
+    for depth, img, mask, E in frames:
+        e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+        args = (jnp.asarray(depth), jnp.asarray(img), jnp.asarray(mask),
+                e2i, jnp.asarray(K4))
+        b_d, m_d = fuse_frame_blocked(b_d, *args, CFG)
+        b_s, m_s = fuse_frame_blocked(b_s, *args, cfg_s)
+        assert int(m_d) == 0 and int(m_s) == 0
+    for f in ("weight", "hist", "colorpk", "diff"):
+        np.testing.assert_array_equal(np.asarray(getattr(b_s, f)),
+                                      np.asarray(getattr(b_d, f)))
+
+
 def test_sparse_budget_overflow_counts_misses():
     """Visible blocks beyond vis_block_budget must be counted into the
     miss channel as whole blocks (the no-silent-caps contract)."""
