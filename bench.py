@@ -231,6 +231,23 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
     es = jnp.stack([staged[i % 3][2] for i in range(n_frames)])
     angles = jnp.asarray(np.arange(n_frames, dtype=np.float32) * 0.01)
 
+    # the HEADLINE's detect slice: one batched model apply over the chunk
+    # (detect_mask_batched_impl — exactly what run_chunk_batched hoists),
+    # timed standalone so the stage table reports the batched per-frame
+    # cost, not the per-dispatch chained cost
+    from slam_maskrcnn_tpu.samples.north_star import detect_mask_batched_impl
+    det_b = jax.jit(lambda p, a, w, c: detect_mask_batched_impl(
+        model, p, a, w, c, H, W, ns.geom, ns.mean_pixel))
+    masks_b = det_b(model.params, ns.anchors, ns.nwin, colors)
+    _ = float(jnp.sum(masks_b))
+    best_det = float("inf")
+    for _i in range(3):
+        t0 = time.time()
+        masks_b = det_b(model.params, ns.anchors, ns.nwin, colors)
+        _ = float(jnp.sum(masks_b))
+        best_det = min(best_det, time.time() - t0)
+    detect_batched_ms = best_det / n_frames * 1000.0
+
     # headline form: the batched chunk — detect hoisted out of the scan
     # as ONE model apply at batch n_frames (detect_mask_batched_impl;
     # measured detect/frame 26.2 -> 13.6 ms going batch 1 -> 6), fuse +
@@ -265,7 +282,7 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
         best_dt = min(best_dt, time.time() - t0)
     scan_fps = n_frames / best_dt
     return (batched_fps, scan_fps, percall_fps,
-            max(miss_total, int(jnp.sum(misses))))
+            max(miss_total, int(jnp.sum(misses))), detect_batched_ms)
 
 
 def bench_e2e(model_pack, n_frames=16, H=480, W=640):
@@ -420,22 +437,28 @@ def main():
     ns_fps = None
     try:
         if model_pack is not None:
-            ns_fps, ns_scan, ns_percall, ns_miss = bench_north_star(
-                model_pack)
+            (ns_fps, ns_scan, ns_percall, ns_miss,
+             det_b_ms) = bench_north_star(model_pack)
             extra["north_star_scan_fps"] = round(ns_scan, 2)
             extra["north_star_percall_fps"] = round(ns_percall, 2)
             extra["north_star_misses"] = ns_miss
-            # stage table (ms/frame at the north-star configuration):
-            # detect from the chained detect row, the 512^3 fusion step
-            # from its chunked row, render = the remainder (the in-loop
-            # render shares the probe's shell compaction)
+            extra["detect_batched_ms"] = round(det_b_ms, 1)
+            # stage table of the HEADLINE (batched-chunk) form: detect =
+            # the measured one-apply-per-chunk batched slice, fuse from
+            # the 512^3 chunked row, render_rest = the remainder of the
+            # headline frame time (in-loop candidate render + probe +
+            # association + scan overhead)
             if "fused_fps_512" in extra:
-                # stage arithmetic on the SCAN form (detect inside the
-                # loop, so detect_ms applies); the batched headline's
-                # detect slice is smaller (see tools/north_star_stages.py
-                # for the measured per-stage table)
                 fuse_ms = 1000.0 / extra["fused_fps_512"]
                 extra["ns_stage_ms"] = {
+                    "detect": round(det_b_ms, 1),
+                    "fuse_512": round(fuse_ms, 1),
+                    "render_rest": round(
+                        1000.0 / ns_fps - fuse_ms - det_b_ms, 1),
+                }
+                # the per-frame-latency (scan) form's table, detect at
+                # its chained per-dispatch cost, kept as a secondary
+                extra["ns_stage_ms_scan"] = {
                     "detect": extra.get("detect_ms"),
                     "fuse_512": round(fuse_ms, 1),
                     "render_rest": round(

@@ -82,3 +82,23 @@ def test_color_fidelity(fused):
     mse = float((d ** 2).mean())
     psnr = 10.0 * np.log10(255.0 ** 2 / max(mse, 1e-9))
     assert psnr > 12.0, f"psnr {psnr:.2f} dB"
+    # interior decomposition (VERDICT r3 #3): off the union of both
+    # images' 1-px color-edge bands, the splat's winner-voxel color and
+    # the oracle's trilinear blend differ only by the interpolation
+    # residual — interior PSNR must sit well above the global figure
+    # (boundary pixels dominate the global MSE)
+    edge = np.zeros_like(both)
+    for img in (sp, ma):
+        lab = img.astype(np.int64)
+        key = lab[..., 0] * 65536 + lab[..., 1] * 256 + lab[..., 2]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                edge |= np.roll(key, (dy, dx), (0, 1)) != key
+    interior = both & ~edge
+    if int(interior.sum()) > 100:
+        di = sp[interior].astype(np.float64) - ma[interior].astype(
+            np.float64)
+        imse = float((di ** 2).mean())
+        ipsnr = 10.0 * np.log10(255.0 ** 2 / max(imse, 1e-9))
+        assert ipsnr > psnr + 5.0, \
+            f"interior psnr {ipsnr:.2f} vs global {psnr:.2f} dB"

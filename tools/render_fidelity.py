@@ -26,9 +26,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _boundary_band(img: "np.ndarray"):
+    """1-px-dilated union of coverage and label/color edges of one image:
+    a pixel is in the band if any 8-neighbor (or itself) differs from it
+    in coverage or RGB value."""
+    import numpy as np
+
+    lab = img.astype(np.int32)
+    lab = (lab[..., 0] * 65536 + lab[..., 1] * 256 + lab[..., 2])
+    edge = np.zeros(lab.shape, bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            sh = np.roll(lab, (dy, dx), axis=(0, 1))
+            edge |= sh != lab
+    band = edge.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            band |= np.roll(edge, (dy, dx), axis=(0, 1))
+    return band
+
+
 def fidelity(a: "np.ndarray", b: "np.ndarray"):
-    """(coverage agreement, exact-match fraction, psnr) for uint8 RGB
-    images a (splat) vs b (march)."""
+    """(coverage agreement, exact-match fraction, psnr, interior stats)
+    for uint8 RGB images a (splat) vs b (march). Interior = jointly
+    covered pixels outside BOTH images' 1-px boundary bands (silhouette
+    or instance-edge neighborhoods); the production splat picks the
+    nearest surface VOXEL while the oracle interpolates the zero
+    crossing, so disagreement should be confined to those bands."""
     import numpy as np
 
     ha = a.sum(-1) > 0
@@ -37,12 +63,27 @@ def fidelity(a: "np.ndarray", b: "np.ndarray"):
     both = ha & hb
     n_both = int(both.sum())
     if n_both == 0:
-        return agree, 1.0, float("inf")
-    exact = float((a[both] == b[both]).all(-1).mean())
+        return agree, 1.0, float("inf"), dict(n=0, exact=1.0)
+    eq = (a == b).all(-1)
+    exact = float(eq[both].mean())
     mse = float(((a[both].astype(np.float64)
                   - b[both].astype(np.float64)) ** 2).mean())
     psnr = float("inf") if mse == 0 else 10.0 * np.log10(255.0 ** 2 / mse)
-    return agree, exact, psnr
+    interior = both & ~_boundary_band(a) & ~_boundary_band(b)
+    n_int = int(interior.sum())
+    if n_int == 0:
+        interior_stats = dict(n=0, fraction_of_covered=0.0, exact=1.0,
+                              psnr_db=None)
+    else:
+        imse = float(((a[interior].astype(np.float64)
+                       - b[interior].astype(np.float64)) ** 2).mean())
+        interior_stats = dict(
+            n=n_int,
+            fraction_of_covered=round(n_int / n_both, 4),
+            exact=round(float(eq[interior].mean()), 6),
+            psnr_db=(None if imse == 0
+                     else round(10.0 * np.log10(255.0 ** 2 / imse), 2)))
+    return agree, exact, psnr, interior_stats
 
 
 def build():
@@ -80,11 +121,12 @@ def build():
             ma = np.asarray(render_orbit(
                 dense, jnp.float32(angle), jnp.float32(fus.mean_depth),
                 Ki, H, W, cfg, mode=mode))
-            agree, exact, psnr = fidelity(sp, ma)
+            agree, exact, psnr, interior = fidelity(sp, ma)
             row[mode] = {"coverage_agreement": round(agree, 4),
                          "exact_pixel_fraction": round(exact, 4),
                          "psnr_db": (None if psnr == float("inf")
-                                     else round(psnr, 2))}
+                                     else round(psnr, 2)),
+                         "interior": interior}
         out["views"].append(row)
 
     keys = ("coverage_agreement", "exact_pixel_fraction")
@@ -94,6 +136,17 @@ def build():
                                     for v in out["views"])
     out["min_color_psnr_db"] = min(
         (v["color"]["psnr_db"] or 1e9) for v in out["views"])
+    # the verdict-r3 decomposition: disagreement is confined to the 1-px
+    # silhouette/instance-edge bands. Instance mode (discrete palette):
+    # interior pixels must match exactly. Color mode: the oracle
+    # trilinearly BLENDS voxel colors (utils.cu:99-170) while the splat
+    # shades the winner voxel's stored color, so interiors differ by the
+    # interpolation residual — quantified as interior PSNR (>> the global
+    # figure, which is dominated by boundary pixels).
+    out["min_interior_exact_instance"] = min(
+        v["instance"]["interior"]["exact"] for v in out["views"])
+    out["min_interior_color_psnr_db"] = min(
+        (v["color"]["interior"]["psnr_db"] or 1e9) for v in out["views"])
     return out
 
 
