@@ -822,17 +822,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
             a0a = pl.multiple_of(oa0, 8)
             b0a = pl.multiple_of(ob0, 128)
-            win = None
-            if frame_vmem:
-                # the block's banded window, read straight out of the
-                # VMEM-resident table: banded rows [2*a0, 2*a0 + 2*rect_h)
-                # hold original rows [a0, a0 + rect_h) of both tables.
-                # ~98 KB as a value at the (48, 256) pass-A rect — lives
-                # in vregs/VMEM temporaries, no DMA.
-                win = rect12[pl.ds(pl.multiple_of(2 * a0a, 16),
-                                   2 * rect_h), pl.ds(b0a, rect_w)]
-            elif lookup == "gather_nodma":
-                pass
+            if lookup == "gather_nodma" or frame_vmem:
+                pass  # no per-block rect DMA to wait on in these modes
             elif banded:
                 pltpu.make_async_copy(
                     pk1_hbm.at[pl.ds(pl.multiple_of(2 * a0a, 16),
@@ -861,181 +852,234 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             if state_hbm:
                 _wait_state(with_cpk=True)
 
-            # ---- uniform-block classification (the 512^3 lever) ----
-            # The per-voxel rect lookup is the kernel's dominant cost
-            # (~57 of 88 ms at 512^3), but MOST visible blocks don't need
-            # it: a block whose whole footprint depth range puts every
-            # voxel beyond the truncation band in FRONT of the surface
-            # updates uniformly (dn == 1, no color/hist), and one entirely
-            # BEHIND it (diff <= -mu culled) is the identity. Both bounds
-            # come from a masked min/max over the footprint's bbox inside
-            # the already-DMA'd rect — ~30x cheaper than the lookup chain
-            # — and are conservative in exact f32 arithmetic, so the
-            # classified updates are BIT-IDENTICAL to the full path:
-            #   free:   d_raw >= d_min, pz <= pz_max
-            #           => diff_m >= d_min/s - pz_max >= mu => dn = 1
-            #   behind: d_raw <= d_max, pz >= pz_min
-            #           => diff_m <= d_max/s - pz_min <= -mu => invalid
-            # (d_raw == 0 pixels are invalid in both paths.) The miss
-            # counter above is branch-independent. `uniform_skip` gates
-            # the whole scheme for A/B timing.
-            if uniform_skip:
-                if frame_vmem:
-                    d_tab = win.reshape(
-                        (2 * rect_h) // 16, 16, rect_w)[:, :8].reshape(
-                        rect_h, rect_w)
-                    d_tab = jnp.mod(d_tab, 65536.0)
-                elif banded:
-                    # depth rows are the even 8-row bands, in original
-                    # row order once de-interleaved
-                    d_tab = rect12[slot, g].reshape(
-                        (2 * rect_h) // 16, 16, rect_w)[:, :8].reshape(
-                        rect_h, rect_w)
-                    d_tab = jnp.mod(d_tab, 65536.0)
+            # footprint bbox in rect coords (in-image voxels only) — feeds
+            # both the uniform-classification window and the frame_vmem
+            # narrow-chunk dispatch below
+            big_i = jnp.int32(2 ** 30)
+            al_min = jnp.min(jnp.where(in_img, al, big_i))
+            al_max = jnp.max(jnp.where(in_img, al, -1))
+            bl_min = jnp.min(jnp.where(in_img, bl, big_i))
+            bl_max = jnp.max(jnp.where(in_img, bl, -1))
+
+            def _update_body(winv, bl_off, wrw):
+                """Uniform classification + the three update bodies over a
+                window of static width `wrw` whose lanes sit at offset
+                `bl_off` within the block rect. `winv` is the banded
+                frame_vmem window VALUE; None = the DMA-scratch paths
+                (which read rect12 and use the full rect, bl_off == 0).
+
+                ---- uniform-block classification (the 512^3 lever) ----
+                The per-voxel rect lookup is the kernel's dominant cost,
+                but MOST visible blocks don't need it: a block whose whole
+                footprint depth range puts every voxel beyond the
+                truncation band in FRONT of the surface updates uniformly
+                (dn == 1, no color/hist), and one entirely BEHIND it
+                (diff <= -mu culled) is the identity. Both bounds come
+                from a masked min/max over the footprint's bbox inside the
+                window — ~30x cheaper than the lookup chain — and are
+                conservative in exact f32 arithmetic, so the classified
+                updates are BIT-IDENTICAL to the full path:
+                  free:   d_raw >= d_min, pz <= pz_max
+                          => diff_m >= d_min/s - pz_max >= mu => dn = 1
+                  behind: d_raw <= d_max, pz >= pz_min
+                          => diff_m <= d_max/s - pz_min <= -mu => invalid
+                (d_raw == 0 pixels are invalid in both paths.) The miss
+                counter above is branch-independent. `uniform_skip` gates
+                the whole scheme for A/B timing."""
+                bl_r = bl - bl_off
+                if uniform_skip:
+                    if winv is not None:
+                        d_tab = winv.reshape(
+                            (2 * rect_h) // 16, 16, wrw)[:, :8].reshape(
+                            rect_h, wrw)
+                        d_tab = jnp.mod(d_tab, 65536.0)
+                    elif banded:
+                        # depth rows are the even 8-row bands, in original
+                        # row order once de-interleaved
+                        d_tab = rect12[slot, g].reshape(
+                            (2 * rect_h) // 16, 16, wrw)[:, :8].reshape(
+                            rect_h, wrw)
+                        d_tab = jnp.mod(d_tab, 65536.0)
+                    else:
+                        d_tab = jnp.mod(rect12[slot, g, :rect_h], 65536.0)
+                    row_i = jax.lax.broadcasted_iota(jnp.int32,
+                                                     (rect_h, wrw), 0)
+                    col_i = jax.lax.broadcasted_iota(jnp.int32,
+                                                     (rect_h, wrw), 1)
+                    fp = ((row_i >= al_min) & (row_i <= al_max)
+                          & (col_i >= bl_min - bl_off)
+                          & (col_i <= bl_max - bl_off))
+                    d_min = jnp.min(jnp.where(fp, d_tab, jnp.float32(1e30)))
+                    d_max = jnp.max(jnp.where(fp, d_tab, 0.0))
+                    pz_min = jnp.min(pz)
+                    pz_max = jnp.max(pz)
+                    behind = d_max / depth_scale - pz_min <= -mu
+                    free = (jnp.all(ok) & (d_min > 0.0)
+                            & (d_min / depth_scale - pz_max >= mu))
                 else:
-                    d_tab = jnp.mod(rect12[slot, g, :rect_h], 65536.0)
-                row_i = jax.lax.broadcasted_iota(jnp.int32,
-                                                 (rect_h, rect_w), 0)
-                col_i = jax.lax.broadcasted_iota(jnp.int32,
-                                                 (rect_h, rect_w), 1)
-                big_i = jnp.int32(2 ** 30)
-                al_min = jnp.min(jnp.where(in_img, al, big_i))
-                al_max = jnp.max(jnp.where(in_img, al, -1))
-                bl_min = jnp.min(jnp.where(in_img, bl, big_i))
-                bl_max = jnp.max(jnp.where(in_img, bl, -1))
-                fp = ((row_i >= al_min) & (row_i <= al_max)
-                      & (col_i >= bl_min) & (col_i <= bl_max))
-                d_min = jnp.min(jnp.where(fp, d_tab, jnp.float32(1e30)))
-                d_max = jnp.max(jnp.where(fp, d_tab, 0.0))
-                pz_min = jnp.min(pz)
-                pz_max = jnp.max(pz)
-                behind = d_max / depth_scale - pz_min <= -mu
-                free = (jnp.all(ok) & (d_min > 0.0)
-                        & (d_min / depth_scale - pz_max >= mu))
-            else:
-                behind = jnp.bool_(False)
-                free = jnp.bool_(False)
+                    behind = jnp.bool_(False)
+                    free = jnp.bool_(False)
 
-            @pl.when(behind)
-            def _():
-                # every voxel invalid: full identity
-                commit()
-                if not hist_hbm:
-                    hist_out[g] = hist_ref[g]
-
-            @pl.when(~behind & free)
-            def _():
-                # every voxel valid with dn == 1: closed-form update,
-                # color/hist gated off (dn >= color_diff_gate)
-                wt = w_in().astype(jnp.float32)
-                commit(dv=(d_in() * wt + 1.0) / (wt + 1.0), wv=w_in() + 1)
-                if not hist_hbm:
-                    hist_out[g] = hist_ref[g]
-
-            @pl.when(~behind & ~free)
-            def _():
-                if frame_vmem:
-                    val1, val2 = _rect_lookup_gather_banded(
-                        win, al, bl, ok, rect_h, rect_w)
-                elif banded:
-                    val1, val2 = _rect_lookup_gather_banded(
-                        rect12.at[slot, g], al, bl, ok, rect_h, rect_w)
-                elif lookup in ("gather", "gather_t", "gather_nodma"):
-                    val1, val2 = _rect_lookup_gather(
-                        rect12.at[slot, g], al, bl, ok, rect_h, rect_w)
-                elif lookup == "none":  # ablation only (WRONG math)
-                    val1 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
-                            + rect12[slot, g, 0, 0])
-                    val2 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
-                            + rect12[slot, g, rect_h, 0])
-                else:
-                    val1, val2 = _rect_lookup_matmul(
-                        rect12[slot, g, :rect_h], rect12[slot, g, rect_h:],
-                        al, bl, ok, rh_i, rect_h, rect_w)
-                d_raw = jnp.mod(val1, 65536.0)         # uint16 depth, exact
-                m_id = jnp.floor(val1 / 65536.0)       # mask id
-                diff_m = d_raw / depth_scale - pz
-                valid = ok & (d_raw > 0) & (diff_m > -mu)
-                dn = jnp.minimum(diff_m, mu) / mu
-                gate = valid & (dn < color_diff_gate)
-                m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
-
-                wt = w_in().astype(jnp.float32)
-                new_diff = jnp.where(valid,
-                                     (d_in() * wt + dn) / (wt + 1.0),
-                                     d_in())
-
-                # color: integer truncating blend per byte, exact in f32
-                cpk = c_in()
-                cb = jnp.mod(cpk, 256.0)
-                cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
-                cr = jnp.floor(cpk / 65536.0)
-                nb_ = jnp.mod(val2, 256.0)
-                ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
-                nr = jnp.floor(val2 / 65536.0)
-                wtp1 = wt + 1.0
-
-                # floor of an f32 division can land one above the true
-                # integer quotient when the ratio sits just under an
-                # integer; correct it so the blend matches the reference's
-                # integer truncation exactly.
-                def idiv(a, den):
-                    q = jnp.floor(a / den)
-                    return q - (q * den > a).astype(jnp.float32)
-
-                ub = idiv(cb * wt + nb_, wtp1)
-                ug = idiv(cg * wt + ng, wtp1)
-                ur = idiv(cr * wt + nr, wtp1)
-                new_cpk = jnp.where(gate, ub + ug * 256.0 + ur * 65536.0,
-                                    cpk)
-
-                # histogram in the row-native layout: replicate each s-row
-                # of (m, gate) to its hist rows on the MXU (bf16-exact:
-                # values <= K-1 and 0/1, one-term sums), then lane-gather
-                # the voxel column and compare against the k lane pattern.
-                # Only blocks with at least one gated (near-surface) voxel
-                # pay for this.
-                any_gate = jnp.any(gate)
-
-                def _hist_update(h_in):
-                    m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
-                                 preferred_element_type=jnp.float32)
-                    g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
-                                 preferred_element_type=jnp.float32)
-                    m_exp = jnp.take_along_axis(m2, lane_src, axis=1)
-                    g_exp = jnp.take_along_axis(g2, lane_src, axis=1)
-                    oh = (m_exp == k_lane) & (g_exp > 0.5)
-                    if hdt == jnp.uint8:
-                        # u8 counts saturate instead of wrapping (exact
-                        # for <= 255 fused frames — the reference caps at
-                        # 100, kernel.cpp:74). Mosaic's v5e vector ALU has
-                        # no i8 add and no i16 compare — compute in i32,
-                        # store u8: HBM traffic still halves.
-                        h32 = h_in.astype(jnp.int32)
-                        oh32 = (oh & (h32 < 255)).astype(jnp.int32)
-                        return (h32 + oh32).astype(hdt)
-                    return h_in + oh.astype(hdt)
-
-                if hist_hbm:
-                    @pl.when(any_gate)
-                    def _():
-                        hist_buf[slot, g] = _hist_update(hist_buf[slot, g])
-                        cp = pltpu.make_async_copy(
-                            hist_buf.at[slot, g],
-                            hist_out.at[hid], hsem.at[slot, g])
-                        cp.start()
-                        cp.wait()
-                else:
-                    @pl.when(any_gate)
-                    def _():
-                        hist_out[g] = _hist_update(hist_ref[g])
-
-                    @pl.when(~any_gate)
-                    def _():
+                @pl.when(behind)
+                def _():
+                    # every voxel invalid: full identity
+                    commit()
+                    if not hist_hbm:
                         hist_out[g] = hist_ref[g]
 
-                commit(dv=new_diff, cv=new_cpk,
-                       wv=w_in() + valid.astype(jnp.int32))
+                @pl.when(~behind & free)
+                def _():
+                    # every voxel valid with dn == 1: closed-form update,
+                    # color/hist gated off (dn >= color_diff_gate)
+                    wt = w_in().astype(jnp.float32)
+                    commit(dv=(d_in() * wt + 1.0) / (wt + 1.0),
+                           wv=w_in() + 1)
+                    if not hist_hbm:
+                        hist_out[g] = hist_ref[g]
+
+                @pl.when(~behind & ~free)
+                def _():
+                    if winv is not None:
+                        val1, val2 = _rect_lookup_gather_banded(
+                            winv, al, bl_r, ok, rect_h, wrw)
+                    elif banded:
+                        val1, val2 = _rect_lookup_gather_banded(
+                            rect12.at[slot, g], al, bl, ok, rect_h, wrw)
+                    elif lookup in ("gather", "gather_t", "gather_nodma"):
+                        val1, val2 = _rect_lookup_gather(
+                            rect12.at[slot, g], al, bl, ok, rect_h, wrw)
+                    elif lookup == "none":  # ablation only (WRONG math)
+                        val1 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
+                                + rect12[slot, g, 0, 0])
+                        val2 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
+                                + rect12[slot, g, rect_h, 0])
+                    else:
+                        val1, val2 = _rect_lookup_matmul(
+                            rect12[slot, g, :rect_h],
+                            rect12[slot, g, rect_h:],
+                            al, bl, ok, rh_i, rect_h, wrw)
+                    d_raw = jnp.mod(val1, 65536.0)     # uint16 depth, exact
+                    m_id = jnp.floor(val1 / 65536.0)   # mask id
+                    diff_m = d_raw / depth_scale - pz
+                    valid = ok & (d_raw > 0) & (diff_m > -mu)
+                    dn = jnp.minimum(diff_m, mu) / mu
+                    gate = valid & (dn < color_diff_gate)
+                    m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
+
+                    wt = w_in().astype(jnp.float32)
+                    new_diff = jnp.where(valid,
+                                         (d_in() * wt + dn) / (wt + 1.0),
+                                         d_in())
+
+                    # color: integer truncating blend per byte, exact f32
+                    cpk = c_in()
+                    cb = jnp.mod(cpk, 256.0)
+                    cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
+                    cr = jnp.floor(cpk / 65536.0)
+                    nb_ = jnp.mod(val2, 256.0)
+                    ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
+                    nr = jnp.floor(val2 / 65536.0)
+                    wtp1 = wt + 1.0
+
+                    # floor of an f32 division can land one above the true
+                    # integer quotient when the ratio sits just under an
+                    # integer; correct it so the blend matches the
+                    # reference's integer truncation exactly.
+                    def idiv(a, den):
+                        q = jnp.floor(a / den)
+                        return q - (q * den > a).astype(jnp.float32)
+
+                    ub = idiv(cb * wt + nb_, wtp1)
+                    ug = idiv(cg * wt + ng, wtp1)
+                    ur = idiv(cr * wt + nr, wtp1)
+                    new_cpk = jnp.where(gate,
+                                        ub + ug * 256.0 + ur * 65536.0,
+                                        cpk)
+
+                    # histogram in the row-native layout: replicate each
+                    # s-row of (m, gate) to its hist rows on the MXU
+                    # (bf16-exact: values <= K-1 and 0/1, one-term sums),
+                    # then lane-gather the voxel column and compare
+                    # against the k lane pattern. Only blocks with at
+                    # least one gated (near-surface) voxel pay for this.
+                    any_gate = jnp.any(gate)
+
+                    def _hist_update(h_in):
+                        m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
+                                     preferred_element_type=jnp.float32)
+                        g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
+                                     preferred_element_type=jnp.float32)
+                        m_exp = jnp.take_along_axis(m2, lane_src, axis=1)
+                        g_exp = jnp.take_along_axis(g2, lane_src, axis=1)
+                        oh = (m_exp == k_lane) & (g_exp > 0.5)
+                        if hdt == jnp.uint8:
+                            # u8 counts saturate instead of wrapping
+                            # (exact for <= 255 fused frames — the
+                            # reference caps at 100, kernel.cpp:74).
+                            # Mosaic's v5e vector ALU has no i8 add and no
+                            # i16 compare — compute in i32, store u8: HBM
+                            # traffic still halves.
+                            h32 = h_in.astype(jnp.int32)
+                            oh32 = (oh & (h32 < 255)).astype(jnp.int32)
+                            return (h32 + oh32).astype(hdt)
+                        return h_in + oh.astype(hdt)
+
+                    if hist_hbm:
+                        @pl.when(any_gate)
+                        def _():
+                            hist_buf[slot, g] = _hist_update(
+                                hist_buf[slot, g])
+                            cp = pltpu.make_async_copy(
+                                hist_buf.at[slot, g],
+                                hist_out.at[hid], hsem.at[slot, g])
+                            cp.start()
+                            cp.wait()
+                    else:
+                        @pl.when(any_gate)
+                        def _():
+                            hist_out[g] = _hist_update(hist_ref[g])
+
+                        @pl.when(~any_gate)
+                        def _():
+                            hist_out[g] = hist_ref[g]
+
+                    commit(dv=new_diff, cv=new_cpk,
+                           wv=w_in() + valid.astype(jnp.int32))
+
+            if frame_vmem:
+                # narrow-chunk specialization: most blocks' lane
+                # footprints fit ONE 128-lane chunk of the rect (the
+                # 128-alignment slack is the rect's, not the footprint's)
+                # — the window read, the uniform-bound scan and the whole
+                # gather chain then run at half width. Blocks straddling a
+                # chunk boundary take the full-width body. Bit-exact: the
+                # 1-chunk window covers every in-image voxel by the bbox
+                # test, and ok-masking zeroes the rest either way.
+                v0b = pl.multiple_of(2 * a0a, 16)
+                nch = rect_w // TILE_L
+                if nch > 1:
+                    one = ((bl_min >= 0) & (bl_max < rect_w)
+                           & (bl_min // TILE_L == bl_max // TILE_L))
+                    c128 = jnp.clip(bl_min // TILE_L, 0, nch - 1) * TILE_L
+
+                    @pl.when(one)
+                    def _():
+                        winv = rect12[
+                            pl.ds(v0b, 2 * rect_h),
+                            pl.ds(pl.multiple_of(b0a + c128, 128), TILE_L)]
+                        _update_body(winv, c128, TILE_L)
+
+                    @pl.when(~one)
+                    def _():
+                        winv = rect12[pl.ds(v0b, 2 * rect_h),
+                                      pl.ds(b0a, rect_w)]
+                        _update_body(winv, jnp.int32(0), rect_w)
+                else:
+                    winv = rect12[pl.ds(v0b, 2 * rect_h),
+                                  pl.ds(b0a, rect_w)]
+                    _update_body(winv, jnp.int32(0), rect_w)
+            else:
+                _update_body(None, jnp.int32(0), rect_w)
         return 0
 
     jax.lax.fori_loop(0, group, _block_body, 0)

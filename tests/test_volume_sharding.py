@@ -11,6 +11,8 @@ oracle-tested against the literal NumPy transcription of the reference
 CUDA (tests/test_fusion.py).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -77,6 +79,26 @@ def test_dense_fusion_step_sharded_matches_single():
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(st_mask), np.asarray(ref_mask))
     assert int(st.num_objs) == int(ref.num_objs)
+
+
+def test_production_config_sharded_golden():
+    """Production-config sharded golden (VERDICT r3 #4), CI-sized: the
+    hard stress sequence (camera enters the volume, per-frame local ids,
+    instance churn) through the blocked Pallas step at 128x128x64 (512
+    production-shape blocks, default production rect cascade/budgets) on
+    the full 8-device mesh — full state AND per-frame masks bit-identical
+    to the 1-device run. The full-size (256x256x64) record lives in
+    SHARDED_GOLDEN.json (tools/sharded_golden.py)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from sharded_golden import build
+
+    out = build(vol=(128, 128, 64), n_frames=4, write=False)
+    assert out["ok"], out
+    assert out["n_blocks"] == 512
+    assert out["num_objs"] >= 2, "stress fixture must churn instances"
 
 
 def test_blocked_fusion_step_sharded_matches_single():
