@@ -861,12 +861,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             bl_min = jnp.min(jnp.where(in_img, bl, big_i))
             bl_max = jnp.max(jnp.where(in_img, bl, -1))
 
-            def _update_body(winv, bl_off, wrw):
+            def _update_body(winv, al_off, bl_off, wrh, wrw):
                 """Uniform classification + the three update bodies over a
-                window of static width `wrw` whose lanes sit at offset
-                `bl_off` within the block rect. `winv` is the banded
-                frame_vmem window VALUE; None = the DMA-scratch paths
-                (which read rect12 and use the full rect, bl_off == 0).
+                static (wrh, wrw) window whose rows/lanes sit at offsets
+                (al_off, bl_off) within the block rect. `winv` is the
+                banded frame_vmem window VALUE; None = the DMA-scratch
+                paths (which read rect12 and use the full rect,
+                offsets == 0, wrh == rect_h).
 
                 ---- uniform-block classification (the 512^3 lever) ----
                 The per-voxel rect lookup is the kernel's dominant cost,
@@ -886,27 +887,29 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 (d_raw == 0 pixels are invalid in both paths.) The miss
                 counter above is branch-independent. `uniform_skip` gates
                 the whole scheme for A/B timing."""
+                al_r = al - al_off
                 bl_r = bl - bl_off
                 if uniform_skip:
                     if winv is not None:
                         d_tab = winv.reshape(
-                            (2 * rect_h) // 16, 16, wrw)[:, :8].reshape(
-                            rect_h, wrw)
+                            (2 * wrh) // 16, 16, wrw)[:, :8].reshape(
+                            wrh, wrw)
                         d_tab = jnp.mod(d_tab, 65536.0)
                     elif banded:
                         # depth rows are the even 8-row bands, in original
                         # row order once de-interleaved
                         d_tab = rect12[slot, g].reshape(
-                            (2 * rect_h) // 16, 16, wrw)[:, :8].reshape(
-                            rect_h, wrw)
+                            (2 * wrh) // 16, 16, wrw)[:, :8].reshape(
+                            wrh, wrw)
                         d_tab = jnp.mod(d_tab, 65536.0)
                     else:
-                        d_tab = jnp.mod(rect12[slot, g, :rect_h], 65536.0)
+                        d_tab = jnp.mod(rect12[slot, g, :wrh], 65536.0)
                     row_i = jax.lax.broadcasted_iota(jnp.int32,
-                                                     (rect_h, wrw), 0)
+                                                     (wrh, wrw), 0)
                     col_i = jax.lax.broadcasted_iota(jnp.int32,
-                                                     (rect_h, wrw), 1)
-                    fp = ((row_i >= al_min) & (row_i <= al_max)
+                                                     (wrh, wrw), 1)
+                    fp = ((row_i >= al_min - al_off)
+                          & (row_i <= al_max - al_off)
                           & (col_i >= bl_min - bl_off)
                           & (col_i <= bl_max - bl_off))
                     d_min = jnp.min(jnp.where(fp, d_tab, jnp.float32(1e30)))
@@ -941,13 +944,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 def _():
                     if winv is not None:
                         val1, val2 = _rect_lookup_gather_banded(
-                            winv, al, bl_r, ok, rect_h, wrw)
+                            winv, al_r, bl_r, ok, wrh, wrw)
                     elif banded:
                         val1, val2 = _rect_lookup_gather_banded(
-                            rect12.at[slot, g], al, bl, ok, rect_h, wrw)
+                            rect12.at[slot, g], al, bl, ok, wrh, wrw)
                     elif lookup in ("gather", "gather_t", "gather_nodma"):
                         val1, val2 = _rect_lookup_gather(
-                            rect12.at[slot, g], al, bl, ok, rect_h, wrw)
+                            rect12.at[slot, g], al, bl, ok, wrh, wrw)
                     elif lookup == "none":  # ablation only (WRONG math)
                         val1 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
                                 + rect12[slot, g, 0, 0])
@@ -1047,39 +1050,67 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                            wv=w_in() + valid.astype(jnp.int32))
 
             if frame_vmem:
-                # narrow-chunk specialization: most blocks' lane
-                # footprints fit ONE 128-lane chunk of the rect (the
-                # 128-alignment slack is the rect's, not the footprint's)
-                # — the window read, the uniform-bound scan and the whole
-                # gather chain then run at half width. Blocks straddling a
-                # chunk boundary take the full-width body. Bit-exact: the
-                # 1-chunk window covers every in-image voxel by the bbox
-                # test, and ok-masking zeroes the rest either way.
+                # Tight-window specialization: the window read, the
+                # uniform-bound scan and the whole gather chain scale with
+                # the static window size, and most footprints are FAR
+                # smaller than the rect (measured at the 512^3 bench
+                # scene: v-extent p50 = 22 rows, 79% fit a 32-row
+                # 8-anchored window; 82% fit one 128-lane chunk). The
+                # window anchors to the FOOTPRINT (8/128-aligned floor of
+                # its absolute min, clamped to the table), not the rect:
+                #   tier 1 (32, 128): footprint fits both tight spans;
+                #   tier 2 (rect_h, 128): lanes fit one chunk only;
+                #   tier 3 (rect_h, rect_w): the always-correct fallback.
+                # Bit-exact: each tier's window covers the whole in-image
+                # footprint bbox by its dispatch test, so the uniform
+                # bounds see the same pixel set and ok-masking zeroes
+                # everything else — dispatch changes cost, never values.
+                tab_h = rect12.shape[0] // 2   # logical table height
+                tab_w = rect12.shape[1]
                 v0b = pl.multiple_of(2 * a0a, 16)
-                nch = rect_w // TILE_L
-                if nch > 1:
-                    one = ((bl_min >= 0) & (bl_max < rect_w)
-                           & (bl_min // TILE_L == bl_max // TILE_L))
-                    c128 = jnp.clip(bl_min // TILE_L, 0, nch - 1) * TILE_L
+                av_max = oa0 + al_max
+                au_max = ob0 + bl_max
+                nonempty = al_max >= al_min
+                RW1 = 32
+                ca = jnp.clip(((ob0 + bl_min) // TILE_L) * TILE_L,
+                              0, tab_w - TILE_L)
+                one_ch = nonempty & (au_max - ca < TILE_L)
+                if rect_w > TILE_L and rect_h > RW1:
+                    va = jnp.clip(((oa0 + al_min) // 8) * 8,
+                                  0, tab_h - RW1)
+                    t1 = one_ch & (av_max - va < RW1)
+                    t2 = one_ch & ~t1
 
-                    @pl.when(one)
+                    @pl.when(t1)
+                    def _():
+                        winv = rect12[
+                            pl.ds(pl.multiple_of(2 * va, 16), 2 * RW1),
+                            pl.ds(pl.multiple_of(ca, 128), TILE_L)]
+                        _update_body(winv, va - oa0, ca - ob0,
+                                     RW1, TILE_L)
+
+                    @pl.when(t2)
                     def _():
                         winv = rect12[
                             pl.ds(v0b, 2 * rect_h),
-                            pl.ds(pl.multiple_of(b0a + c128, 128), TILE_L)]
-                        _update_body(winv, c128, TILE_L)
+                            pl.ds(pl.multiple_of(ca, 128), TILE_L)]
+                        _update_body(winv, jnp.int32(0), ca - ob0,
+                                     rect_h, TILE_L)
 
-                    @pl.when(~one)
+                    @pl.when(~one_ch)
                     def _():
                         winv = rect12[pl.ds(v0b, 2 * rect_h),
                                       pl.ds(b0a, rect_w)]
-                        _update_body(winv, jnp.int32(0), rect_w)
+                        _update_body(winv, jnp.int32(0), jnp.int32(0),
+                                     rect_h, rect_w)
                 else:
                     winv = rect12[pl.ds(v0b, 2 * rect_h),
                                   pl.ds(b0a, rect_w)]
-                    _update_body(winv, jnp.int32(0), rect_w)
+                    _update_body(winv, jnp.int32(0), jnp.int32(0),
+                                 rect_h, rect_w)
             else:
-                _update_body(None, jnp.int32(0), rect_w)
+                _update_body(None, jnp.int32(0), jnp.int32(0),
+                             rect_h, rect_w)
         return 0
 
     jax.lax.fori_loop(0, group, _block_body, 0)
