@@ -42,22 +42,67 @@ def _box_iou(d, g, iscrowd):
     return inter / np.maximum(union, 1e-10)
 
 
+# COCO 17-keypoint OKS sigmas (pycocotools cocoeval.py:523, the
+# Params.kpt_oks_sigmas default)
+COCO_KPT_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+     1.07, 1.07, .87, .87, .89, .89]) / 10.0
+
+
+def _oks_iou(dts, gts, sigmas):
+    """Object-keypoint-similarity matrix [len(dts), len(gts)]
+    (= pycocotools computeOks, cocoeval.py:203-235): per-keypoint
+    Gaussian falloff normalized by sigma and gt area, averaged over the
+    gt's labeled keypoints; a gt with NO labeled keypoints falls back to
+    distances outside its doubled bbox. dts are score-sorted by the
+    caller. Keypoints are flat [x0, y0, v0, x1, y1, v1, ...]; gt bbox
+    here is COCO [x, y, w, h]."""
+    vars_ = (sigmas * 2.0) ** 2
+    k = len(sigmas)
+    ious = np.zeros((len(dts), len(gts)))
+    for j, gt in enumerate(gts):
+        g = np.asarray(gt["keypoints"], np.float64)
+        xg, yg, vg = g[0::3], g[1::3], g[2::3]
+        k1 = int(np.count_nonzero(vg > 0))
+        x, y, w, h = [float(v) for v in gt["kpt_bbox"]]
+        x0, x1 = x - w, x + w * 2
+        y0, y1 = y - h, y + h * 2
+        for i, dt in enumerate(dts):
+            d = np.asarray(dt["keypoints"], np.float64)
+            xd, yd = d[0::3], d[1::3]
+            if k1 > 0:
+                dx, dy = xd - xg, yd - yg
+            else:
+                z = np.zeros(k)
+                dx = (np.maximum(z, x0 - xd) + np.maximum(z, xd - x1))
+                dy = (np.maximum(z, y0 - yd) + np.maximum(z, yd - y1))
+            e = ((dx ** 2 + dy ** 2) / vars_
+                 / (float(gt["area"]) + np.spacing(1)) / 2.0)
+            if k1 > 0:
+                e = e[vg > 0]
+            ious[i, j] = np.sum(np.exp(-e)) / e.shape[0]
+    return ious
+
+
 class COCOevalLite:
     """Evaluate detections against ground truth.
 
     gts: list of dicts per image:
-      {image_id, class_id, bbox [y1,x1,y2,x2] or rle, area, iscrowd}
+      {image_id, class_id, bbox [y1,x1,y2,x2] or rle, area, iscrowd};
+      keypoint eval adds keypoints [x0,y0,v0,...] and kpt_bbox [x,y,w,h].
     dts: same + score.
-    iou_type: "bbox" | "segm".
+    iou_type: "bbox" | "segm" | "keypoints" (OKS).
     """
 
     def __init__(self, gts, dts, iou_type="bbox",
-                 iou_thrs=None, max_dets=(1, 10, 100)):
+                 iou_thrs=None, max_dets=(1, 10, 100), kpt_sigmas=None):
         self.iou_type = iou_type
         self.iou_thrs = (np.arange(0.5, 1.0, 0.05)
                          if iou_thrs is None else np.asarray(iou_thrs))
         self.max_dets = max_dets
         self.recall_thrs = np.linspace(0, 1, 101)
+        self.kpt_sigmas = (COCO_KPT_SIGMAS if kpt_sigmas is None
+                           else np.asarray(kpt_sigmas, np.float64))
         self.gts = gts
         self.dts = dts
         self.img_ids = sorted({g["image_id"] for g in gts}
@@ -72,6 +117,8 @@ class COCOevalLite:
         if self.iou_type == "segm":
             return rle_iou([d["rle"] for d in dts], [g["rle"] for g in gts],
                            iscrowd=crowd)
+        if self.iou_type == "keypoints":
+            return _oks_iou(dts, gts, self.kpt_sigmas)
         return _box_iou(np.asarray([d["bbox"] for d in dts], np.float64),
                         np.asarray([g["bbox"] for g in gts], np.float64),
                         crowd)

@@ -166,6 +166,50 @@ def test_cocoeval_crowd_ignore_hand():
     np.testing.assert_allclose(r["ar"], 2.0 / 3.0, atol=1e-9)
 
 
+def test_oks_hand():
+    """Hand-computed OKS (pycocotools computeOks semantics) with k = 2
+    custom sigmas of 0.5 -> var = (2*0.5)^2 = 1 per keypoint, gt area
+    100. dt offsets (0, 2) and (0, 0):
+      e = (dx^2 + dy^2) / var / (area + eps) / 2 -> e1 = 4/200 = 0.02,
+      e2 = 0; OKS = (exp(-0.02) + 1) / 2 = 0.990099...
+    Unlabeled-gt fallback (all v = 0): distances outside the EXPANDED
+    bbox [x-w, x+2w] x [y-h, y+2h] (= [0, 30] x [0, 30] for bbox
+    [10, 10, 10, 10]); a dt inside scores 1, one at x = 50 has
+    dx = 50 - 30 = 20 -> e = 400/200 = 2 -> exp(-2) per keypoint."""
+    from slam_maskrcnn_tpu.eval.cocoeval import _oks_iou
+
+    sig = np.array([0.5, 0.5])
+    gt = [dict(keypoints=[10, 10, 2, 20, 10, 2], kpt_bbox=[5, 5, 20, 10],
+               area=100.0)]
+    dt = [dict(keypoints=[10, 12, 2, 20, 10, 2])]
+    got = _oks_iou(dt, gt, sig)[0, 0]
+    np.testing.assert_allclose(got, (np.exp(-0.02) + 1.0) / 2.0,
+                               rtol=1e-9)
+    # unlabeled gt -> bbox fallback; expanded box [0, 30] x [0, 30]
+    gt0 = [dict(keypoints=[10, 10, 0, 20, 10, 0],
+                kpt_bbox=[10, 10, 10, 10], area=100.0)]
+    inside = [dict(keypoints=[15, 15, 2, 30, 30, 2])]
+    np.testing.assert_allclose(_oks_iou(inside, gt0, sig)[0, 0], 1.0)
+    outside = [dict(keypoints=[50, 20, 2, 50, 20, 2])]
+    np.testing.assert_allclose(_oks_iou(outside, gt0, sig)[0, 0],
+                               np.exp(-2.0), rtol=1e-9)
+
+
+def test_cocoeval_keypoints_hand():
+    """End-to-end keypoint AP: the OKS-0.990 match above is a TP at
+    thr 0.5 (AP = 1) and a FP at thr 0.995 (AP = 0)."""
+    gts = [dict(image_id=1, class_id=1, keypoints=[10, 10, 2, 20, 10, 2],
+                kpt_bbox=[5, 5, 20, 10], area=100.0, iscrowd=0)]
+    dts = [dict(image_id=1, class_id=1,
+                keypoints=[10, 12, 2, 20, 10, 2], area=100.0, score=0.9)]
+    ev = COCOevalLite(gts, dts, iou_type="keypoints", iou_thrs=[0.5],
+                      max_dets=(20,), kpt_sigmas=[0.5, 0.5])
+    np.testing.assert_allclose(ev.evaluate()[("all", 20)]["ap"], 1.0)
+    ev = COCOevalLite(gts, dts, iou_type="keypoints", iou_thrs=[0.995],
+                      max_dets=(20,), kpt_sigmas=[0.5, 0.5])
+    assert ev.evaluate()[("all", 20)]["ap"] == 0.0
+
+
 def test_cocoeval_segm_hand():
     """segm path on literal RLEs: det = M_TOP vs gt = M_LEFT is IoU 1/3
     < 0.5 -> the single det is a FP and AP = 0; at iou_thr 0.3 it is a
