@@ -144,6 +144,15 @@ class FusionConfig:
     # back to per-block DMAs when the padded table exceeds ~12 MB or for
     # the full-image pass B (whose window would blow the vreg budget).
     pallas_frame_vmem: bool = True
+    # Deferred write-backs: the HBM-resident histogram (and, in
+    # state_hbm mode, state) write-backs used to start+wait INLINE per
+    # block — full DMA latency exposed in the compute path, ~1 us per
+    # gated block. Deferring each wait to the slot's next reuse (the
+    # prefetch for the block NSLOT steps later, ~16 blocks of compute
+    # away) hides it; in-flight writes are tracked per (kind, slot,
+    # lane) in SMEM flags and drained at reuse or in a final-step
+    # epilogue. Bit-exact (ordering only). False = the old inline waits.
+    pallas_defer_writeback: bool = True
     # State (diff/colorpk/weight) HBM-resident with true-id manual DMA —
     # the same scheme the histogram already uses; bytes move only for
     # non-identity blocks (free: diff+weight; full: all three). Measured:

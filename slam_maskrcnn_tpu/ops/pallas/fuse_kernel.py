@@ -444,7 +444,14 @@ def _rect_lookup_gather_banded(rect12_ref, vl, ul, ok,
         acc2 = jnp.zeros((1, TILE_L), jnp.float32)
         for c in range(0, rect_w, TILE_L):
             idx = jnp.clip(ul_row - c, 0, TILE_L - 1)
-            mc = vmask * (ul_row // TILE_L == c // TILE_L).astype(jnp.float32)
+            if rect_w == TILE_L:
+                # single-chunk window (the tight-tier fast path): every
+                # masked lane's ul is inside the chunk by the dispatch
+                # coverage test, so the chunk-match multiply is identity
+                mc = vmask
+            else:
+                mc = vmask * (ul_row // TILE_L
+                              == c // TILE_L).astype(jnp.float32)
             g12 = jnp.take_along_axis(rect12_ref[:, c:c + TILE_L], idx,
                                       axis=1)
             prod = (g12 * mc).reshape(nb2, 16, TILE_L)
@@ -523,13 +530,15 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  miss_ref,     # SMEM out [1, 1] i32
                  rect12, sems, hist_buf, hsem,  # scratch
                  dbuf, cbuf, wbuf, ssem,        # state_hbm staging slots
+                 wfl,          # SMEM [4*NSLOT*group] deferred-write flags
                  *, K: int, H: int, W: int, nby: int, nbz: int,
                  rect_h: int, rect_w: int,
                  color_diff_gate: float, depth_scale: float,
                  group: int = GROUP, coords: str = "arith",
                  lookup: str = "gather", hist_hbm: bool = False,
                  state_hbm: bool = False, banded: bool = False,
-                 frame_vmem: bool = False, uniform_skip: bool = True):
+                 frame_vmem: bool = False, defer_wb: bool = True,
+                 uniform_skip: bool = True):
     # frame_vmem: the whole banded packed table lives in VMEM (the rect12
     # scratch slot holds it; ONE table DMA at grid step 0) and each
     # visible block reads its [2*rect_h, rect_w] window as a
@@ -594,13 +603,46 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  + origins_ref[blk * ostride + 4]) * nbz
                 + origins_ref[blk * ostride + 5])
 
+    def _drain_writes(gslot, g, kinds):
+        """Wait any deferred write-back still in flight on (gslot, g)
+        for the given kinds (0 diff / 1 colorpk / 2 weight / 3 hist) and
+        clear its flag. The wait descriptor's HBM index doesn't matter —
+        DMA semaphores count bytes and every block's tile has the same
+        shape — so index 0 stands in for the old block's id."""
+        for k in kinds:
+            idx = (k * NSLOT + gslot) * group + g
+
+            @pl.when(wfl[idx] == 1)
+            def _(k=k, idx=idx):
+                if k == 0:
+                    pltpu.make_async_copy(dbuf.at[gslot, g],
+                                          diff_out.at[0],
+                                          ssem.at[0, gslot, g]).wait()
+                elif k == 1:
+                    pltpu.make_async_copy(cbuf.at[gslot, g],
+                                          colorpk_out.at[0],
+                                          ssem.at[1, gslot, g]).wait()
+                elif k == 2:
+                    pltpu.make_async_copy(wbuf.at[gslot, g],
+                                          wt_out.at[0],
+                                          ssem.at[2, gslot, g]).wait()
+                else:
+                    pltpu.make_async_copy(hist_buf.at[gslot, g],
+                                          hist_out.at[0],
+                                          hsem.at[gslot, g]).wait()
+                wfl[idx] = 0
+
     def _issue_one(blk, g, gslot):
-        """Start the DMAs block `blk` will need (into slot gslot, lane g)."""
+        """Start the DMAs block `blk` will need (into slot gslot, lane g).
+        With defer_wb, first drain any deferred write-back still using a
+        buffer/semaphore this block's reads are about to reuse."""
         code = origins_ref[blk * ostride + 2]
 
         if state_hbm:
             @pl.when(code >= 1)   # free + full both need diff/weight
             def _():
+                if defer_wb:
+                    _drain_writes(gslot, g, (0, 2))
                 hid = _hist_id(blk)
                 pltpu.make_async_copy(diff_ref.at[hid],
                                       dbuf.at[gslot, g],
@@ -633,10 +675,14 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                     rect12.at[gslot, g, pl.ds(rect_h, rect_h)],
                     sems.at[1, gslot, g]).start()
             if state_hbm:
+                if defer_wb:
+                    _drain_writes(gslot, g, (1,))
                 pltpu.make_async_copy(colorpk_ref.at[_hist_id(blk)],
                                       cbuf.at[gslot, g],
                                       ssem.at[1, gslot, g]).start()
             if hist_hbm:
+                if defer_wb:
+                    _drain_writes(gslot, g, (3,))
                 pltpu.make_async_copy(hist_ref.at[_hist_id(blk)],
                                       hist_buf.at[gslot, g],
                                       hsem.at[gslot, g]).start()
@@ -644,6 +690,14 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     @pl.when(step == 0)
     def _():
         miss_ref[0, 0] = 0
+        if defer_wb and (state_hbm or hist_hbm):
+            def _z(g, _):
+                for k in range(4):
+                    for w in range(NSLOT):
+                        wfl[(k * NSLOT + w) * group + g] = 0
+                return 0
+
+            jax.lax.fori_loop(0, group, _z, 0)
         if frame_vmem:
             # load the WHOLE banded table into VMEM once per pass
             # (~2.9 MB, a one-off ~4 us): every block's window is then a
@@ -733,9 +787,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             """Write back updated tiles. None = unchanged: streamed mode
             passes the input through (every out block must be written);
             state_hbm mode writes NOTHING (the HBM alias keeps content).
-            Starts all out-copies first, then waits, so the three DMAs
-            overlap — and by the wait the scratch slot is safe to reuse
-            by the next prefetch."""
+            With defer_wb the waits move to the slot's next reuse
+            (~16 blocks of compute away) — the DMA latency hides instead
+            of serializing into the compute path; without it, start all
+            then wait all (the copies at least overlap each other)."""
             if not state_hbm:
                 diff_out[g] = d_in() if dv is None else dv
                 colorpk_out[g] = c_in() if cv is None else cv
@@ -744,23 +799,27 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             cps = []
             if dv is not None:
                 dbuf[slot, g] = dv
-                cps.append(pltpu.make_async_copy(
+                cps.append((0, pltpu.make_async_copy(
                     dbuf.at[slot, g], diff_out.at[hid],
-                    ssem.at[0, slot, g]))
+                    ssem.at[0, slot, g])))
             if cv is not None:
                 cbuf[slot, g] = cv
-                cps.append(pltpu.make_async_copy(
+                cps.append((1, pltpu.make_async_copy(
                     cbuf.at[slot, g], colorpk_out.at[hid],
-                    ssem.at[1, slot, g]))
+                    ssem.at[1, slot, g])))
             if wv is not None:
                 wbuf[slot, g] = wv
-                cps.append(pltpu.make_async_copy(
+                cps.append((2, pltpu.make_async_copy(
                     wbuf.at[slot, g], wt_out.at[hid],
-                    ssem.at[2, slot, g]))
-            for cp in cps:
+                    ssem.at[2, slot, g])))
+            for _k, cp in cps:
                 cp.start()
-            for cp in cps:
-                cp.wait()
+            if defer_wb:
+                for k, _cp in cps:
+                    wfl[(k * NSLOT + slot) * group + g] = 1
+            else:
+                for _k, cp in cps:
+                    cp.wait()
 
         if not state_hbm:
             @pl.when(origins_ref[blk * ostride + 2] == 0)
@@ -1036,7 +1095,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                                 hist_buf.at[slot, g],
                                 hist_out.at[hid], hsem.at[slot, g])
                             cp.start()
-                            cp.wait()
+                            if defer_wb:
+                                wfl[(3 * NSLOT + slot) * group + g] = 1
+                            else:
+                                cp.wait()
                     else:
                         @pl.when(any_gate)
                         def _():
@@ -1115,6 +1177,22 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
     jax.lax.fori_loop(0, group, _block_body, 0)
 
+    if defer_wb and (state_hbm or hist_hbm):
+        # final-step drain: the last NSLOT steps' deferred write-backs
+        # have no subsequent slot reuse to wait them — drain every
+        # outstanding flag before the kernel ends
+        @pl.when(step == nsteps - 1)
+        def _():
+            def _fin(g, _):
+                for w in range(NSLOT):
+                    if state_hbm:
+                        _drain_writes(w, g, (0, 1, 2))
+                    if hist_hbm:
+                        _drain_writes(w, g, (3,))
+                return 0
+
+            jax.lax.fori_loop(0, group, _fin, 0)
+
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def fuse_frame_blocked(b: BlockedTSDFState, depth: jax.Array,
@@ -1184,6 +1262,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     interpret = jax.default_backend() == "cpu"
     sparse = getattr(cfg, "pallas_sparse", False)
     state_hbm = cfg.pallas_state_hbm and not sparse
+    defer_wb = getattr(cfg, "pallas_defer_writeback", True)
     banded = (lookup == "gather"
               and getattr(cfg, "pallas_banded_rect", False))
     frame_vmem = (lookup == "gather" and not banded
@@ -1218,7 +1297,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                        color_diff_gate=cfg.color_diff_gate,
                        depth_scale=cfg.depth_scale, group=GROUP,
                        lookup=lookup, hist_hbm=True, banded=banded,
-                       frame_vmem=frame_vmem,
+                       frame_vmem=frame_vmem, defer_wb=defer_wb,
                        state_hbm=state_hbm, uniform_skip=uniform_skip)
 
         if state_hbm:
@@ -1259,6 +1338,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                 pltpu.VMEM((NSLOT, GROUP, TILE_S, TILE_L), jnp.float32),
                 pltpu.VMEM((NSLOT, GROUP, TILE_S, TILE_L), jnp.int32),
                 pltpu.SemaphoreType.DMA((3, NSLOT, GROUP)),
+                pltpu.SMEM((4 * NSLOT * GROUP,), jnp.int32),
             ],
         )
 
@@ -1350,6 +1430,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                          depth_scale=cfg.depth_scale, group=grp,
                          coords="smem", lookup=lookup, hist_hbm=hist_hbm,
                          banded=band, frame_vmem=fv, state_hbm=st_hbm,
+                         defer_wb=defer_wb,
                          uniform_skip=uniform_skip)
         hist_spec = (pl.BlockSpec(memory_space=pl.ANY) if hist_hbm
                      else pl.BlockSpec((grp, HRK2, TILE_L),
@@ -1393,6 +1474,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                 pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.float32),
                 pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.int32),
                 pltpu.SemaphoreType.DMA((3, NSLOT, grp)),
+                pltpu.SMEM((4 * NSLOT * grp,), jnp.int32),
             ],
         )
         da = new_diff if st_hbm else new_diff[idc]
