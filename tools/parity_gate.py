@@ -325,20 +325,35 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY.json"))
     ap.add_argument("--vol", type=int, default=64)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--scratch", default=None,
+                    help="reuse this scratch dir; with existing CPU "
+                         "goldens inside, phase 1 is skipped (lets the "
+                         "slow CPU phase run ahead of TPU availability)")
+    ap.add_argument("--phase", choices=("both", "cpu"), default="both",
+                    help="'cpu' = write the goldens and stop")
     args = ap.parse_args()
 
-    scratch = tempfile.mkdtemp(prefix="parity_")
+    scratch = args.scratch or tempfile.mkdtemp(prefix="parity_")
+    os.makedirs(scratch, exist_ok=True)
     write_common(scratch, args.vol)
 
-    # phase 1: CPU golden (subprocess so platform selection is clean)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = (env.get("PYTHONPATH", "") + os.pathsep + REPO
-                         + os.pathsep + scratch)
-    print("[parity] phase 1: CPU golden...", flush=True)
-    subprocess.run([sys.executable, "-c",
-                    CPU_SCRIPT.format(repo=REPO, out_dir=scratch,
-                                      vol=args.vol)],
-                   env=env, check=True)
+    have_goldens = os.path.exists(os.path.join(scratch, "detect_cpu.npz"))
+    if have_goldens and args.scratch:
+        print("[parity] phase 1: reusing existing CPU goldens", flush=True)
+    else:
+        # phase 1: CPU golden (subprocess so platform selection is clean)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = (env.get("PYTHONPATH", "") + os.pathsep + REPO
+                             + os.pathsep + scratch)
+        print("[parity] phase 1: CPU golden...", flush=True)
+        subprocess.run([sys.executable, "-c",
+                        CPU_SCRIPT.format(repo=REPO, out_dir=scratch,
+                                          vol=args.vol)],
+                       env=env, check=True)
+    if args.phase == "cpu":
+        print(f"[parity] CPU goldens in {scratch}; rerun with "
+              f"--scratch {scratch} when the TPU is back", flush=True)
+        return
 
     # phase 2: TPU run (this process)
     sys.path.insert(0, scratch)
