@@ -94,11 +94,15 @@ def bench_fusion(vol, n_frames, H=480, W=640, **cfg_kw):
 
     stack = tuple(jnp.stack([staged[i % 3][j] for i in range(n_frames)])
                   for j in range(4))
-    # compile + warm, then report the best of 3 timed chunks: the first
-    # executions of a freshly loaded program through the axon runtime run
-    # ~4-30x slow (measured 987 -> 30.5 ms/frame across runs), and the
-    # slow mode occasionally recurs once; steady state is what a resident
-    # pipeline sustains
+    # compile + warm, then report the best of 3 timed windows of TWO
+    # chained chunks each: the first executions of a freshly loaded
+    # program through the axon runtime run ~4-30x slow (measured 987 ->
+    # 30.5 ms/frame across runs) and the slow mode occasionally recurs
+    # once; steady state is what a resident pipeline sustains. Each
+    # window forces completion with ONE fused scalar readback — separate
+    # float() readbacks are full relay round-trips (~35 ms each) that a
+    # locally-attached chip does not pay, and they were inflating every
+    # per-frame figure by several ms
     state, masks_g, misses = fuse_sequence_blocked(state, *stack, Kj, cfg)
     _ = float(jnp.sum(state.weight))
     best_dt = float("inf")
@@ -106,9 +110,12 @@ def bench_fusion(vol, n_frames, H=480, W=640, **cfg_kw):
         t0 = time.time()
         state, masks_g, misses = fuse_sequence_blocked(state, *stack, Kj,
                                                        cfg)
-        chk = float(jnp.sum(state.weight)) + float(jnp.sum(masks_g))
+        state, masks_g, misses = fuse_sequence_blocked(state, *stack, Kj,
+                                                       cfg)
+        chk = float(jnp.sum(state.weight)
+                    + jnp.sum(masks_g).astype(jnp.float32))
         best_dt = min(best_dt, time.time() - t0)
-    return (n_frames / best_dt, int(jnp.sum(misses)), percall_fps,
+    return (2 * n_frames / best_dt, int(jnp.sum(misses)), percall_fps,
             (state, Kj, cfg, frames[0]))
 
 
@@ -242,11 +249,13 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
     _ = float(jnp.sum(masks_b))
     best_det = float("inf")
     for _i in range(3):
+        # two chained applies, one fused readback (relay RTT amortized)
         t0 = time.time()
-        masks_b = det_b(model.params, ns.anchors, ns.nwin, colors)
-        _ = float(jnp.sum(masks_b))
+        m1 = det_b(model.params, ns.anchors, ns.nwin, colors)
+        m2 = det_b(model.params, ns.anchors, ns.nwin, colors)
+        _ = float(jnp.sum(m1) + jnp.sum(m2))
         best_det = min(best_det, time.time() - t0)
-    detect_batched_ms = best_det / n_frames * 1000.0
+    detect_batched_ms = best_det / (2 * n_frames) * 1000.0
 
     # headline form: the batched chunk — detect hoisted out of the scan
     # as ONE model apply at batch n_frames (detect_mask_batched_impl;
@@ -258,13 +267,19 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
     _ = float(jnp.sum(state.weight))
     best_dt = float("inf")
     for _i in range(3):
+        # two chained chunks per timed window, ONE fused readback (see
+        # bench_fusion) — renders/masks stay device-resident, their
+        # computation is forced through the state dependence + the sum
         t0 = time.time()
         state, renders, masks_g, misses = ns.run_chunk_batched(
             state, depths, colors, es, angles, dist)
-        chk = (float(jnp.sum(state.weight)) + float(jnp.sum(renders))
-               + float(jnp.sum(masks_g)))
+        state, renders, masks_g, misses = ns.run_chunk_batched(
+            state, depths, colors, es, angles, dist)
+        chk = float(jnp.sum(state.weight)
+                    + jnp.sum(renders).astype(jnp.float32)
+                    + jnp.sum(masks_g).astype(jnp.float32))
         best_dt = min(best_dt, time.time() - t0)
-    batched_fps = n_frames / best_dt
+    batched_fps = 2 * n_frames / best_dt
     miss_total = int(jnp.sum(misses))
 
     # per-frame-detect chunk (the scan with detect inside — the form a
@@ -277,10 +292,13 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
         t0 = time.time()
         state, renders, masks_g, misses = ns.run_chunk(
             state, depths, colors, es, angles, dist)
-        chk = (float(jnp.sum(state.weight)) + float(jnp.sum(renders))
-               + float(jnp.sum(masks_g)))
+        state, renders, masks_g, misses = ns.run_chunk(
+            state, depths, colors, es, angles, dist)
+        chk = float(jnp.sum(state.weight)
+                    + jnp.sum(renders).astype(jnp.float32)
+                    + jnp.sum(masks_g).astype(jnp.float32))
         best_dt = min(best_dt, time.time() - t0)
-    scan_fps = n_frames / best_dt
+    scan_fps = 2 * n_frames / best_dt
     return (batched_fps, scan_fps, percall_fps,
             max(miss_total, int(jnp.sum(misses))), detect_batched_ms)
 
