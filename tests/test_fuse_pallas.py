@@ -296,3 +296,110 @@ def test_invisible_blocks_are_skipped_correctly():
                                   np.asarray(blocked_ref.hist))
     np.testing.assert_allclose(np.asarray(b2.diff),
                                np.asarray(blocked_ref.diff))
+
+
+def test_tight_tier_fast_path_exercised_and_exact():
+    """The frame_vmem tight-window tiers ((32, 128) / (rect_h, 128)) are
+    sized for PRODUCTION footprints — at the coarse volumes the other
+    tests use, block footprints exceed them and only the fallback body
+    runs. This fixture makes blocks fine enough (128x128x64 voxels,
+    240x320 image) that the fast tiers genuinely execute, asserts so by
+    replicating the tier-1 dispatch test host-side, and checks the
+    result is bit-identical to the DMA fallback path
+    (pallas_frame_vmem=False) AND to the exact XLA oracle."""
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import BX, BY, BZ
+
+    Ht, Wt = 240, 320
+    Kt = make_intrinsic(260.0, 260.0, Wt / 2, Ht / 2)
+    kw = dict(vol_dim=(128, 128, 64), hist_dtype=jnp.uint16,
+              pallas_rect=(48, 256), pallas_rect_mid=(128, 384))
+    cfg_fv = FusionConfig(pallas_frame_vmem=True, **kw)
+    cfg_dma = FusionConfig(pallas_frame_vmem=False, **kw)
+    scene = default_scene()
+    frames = []
+    for E in identity_pose_sequence(2):
+        d, c, m = render_frame(scene, E, Kt, Ht, Wt)
+        frames.append((d, c, m, E))
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+
+    b_fv = to_blocked(init_from_first_frame(cfg_fv, depth0, Kt, md),
+                      cfg_fv)
+    b_dma = to_blocked(init_from_first_frame(cfg_dma, depth0, Kt, md),
+                       cfg_dma)
+    xla = init_from_first_frame(cfg_fv, depth0, Kt, md)
+    E0inv = np.linalg.inv(frames[0][3])
+    Ktj = jnp.asarray(Kt)
+    Kinv = jnp.asarray(np.linalg.inv(Kt).astype(np.float32))
+    for d, c, m, E in frames:
+        e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+        args = (jnp.asarray(d), jnp.asarray(c), jnp.asarray(m), e2i, Ktj)
+        b_fv, mi_f = fuse_frame_blocked(b_fv, *args, cfg_fv)
+        b_dma, mi_d = fuse_frame_blocked(b_dma, *args, cfg_dma)
+        xla = fuse_frame(xla, *args, cfg_fv)
+        assert int(mi_f) == 0 and int(mi_d) == 0
+
+    # the two Pallas paths must agree bit-for-bit with each other and
+    # with the exact XLA state on the integer channels
+    dense = to_dense(b_fv, cfg_fv)
+    for f in ("weight", "hist", "colorpk", "diff"):
+        np.testing.assert_array_equal(np.asarray(getattr(b_fv, f)),
+                                      np.asarray(getattr(b_dma, f)))
+    np.testing.assert_array_equal(np.asarray(dense.weight),
+                                  np.asarray(xla.weight))
+    np.testing.assert_array_equal(np.asarray(dense.hist).astype(np.uint16),
+                                  np.asarray(xla.hist))
+
+    # host-side replica of the tier-1 dispatch test on the LAST frame:
+    # a meaningful fraction of visible blocks must fit the (32, 128)
+    # tight window, i.e. the fast body genuinely executed above
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import _block_origins
+
+    d, c, m, E = frames[-1]
+    e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+    rect_h, rect_w = cfg_fv.pallas_rect
+    origins, _fm, _ff, _om = _block_origins(
+        b_fv, e2i, Ktj, max(Ht, rect_h), max(Wt, rect_w), rect_h, rect_w,
+        img_h=Ht, img_w=Wt, rect_mid=cfg_fv.pallas_rect_mid,
+        depth=jnp.asarray(d), depth_scale=cfg_fv.depth_scale, mu=b_fv.mu)
+    o3 = np.asarray(origins).reshape(-1, 3)
+    code1 = o3[:, 2] == 1
+    assert code1.sum() > 20, "fixture must have visible blocks"
+    nbx, nby, nbz = b_fv.nbx, b_fv.nby, b_fv.nbz
+    En = np.asarray(e2i, np.float64)
+    Km = np.asarray(Kt, np.float64)
+    vs = np.asarray(b_fv.vol_start, np.float64)
+    vx = np.asarray(b_fv.voxel, np.float64)
+    bx = np.arange(nbx)[:, None, None]
+    by = np.arange(nby)[None, :, None]
+    bz = np.arange(nbz)[None, None, :]
+    umin = np.full((nbx, nby, nbz), np.inf)
+    umax = -umin.copy()
+    vmin = umin.copy()
+    vmax = -umin.copy()
+    for cx in (0.0, BX):
+        for cy in (0.0, BY):
+            for cz in (0.0, BZ):
+                px = vs[0] + (bx * BX + cx) * vx[0]
+                py = vs[1] + (by * BY + cy) * vx[1]
+                pz = vs[2] + (bz * BZ + cz) * vx[2]
+                zz = (En[2, 0] * px + En[2, 1] * py + En[2, 2] * pz
+                      + En[2, 3])
+                uu = (Km[0, 0] * (En[0, 0] * px + En[0, 1] * py
+                                  + En[0, 2] * pz + En[0, 3])
+                      + Km[0, 2] * zz) / zz
+                vv = (Km[1, 1] * (En[1, 0] * px + En[1, 1] * py
+                                  + En[1, 2] * pz + En[1, 3])
+                      + Km[1, 2] * zz) / zz
+                umin = np.minimum(umin, uu)
+                umax = np.maximum(umax, uu)
+                vmin = np.minimum(vmin, vv)
+                vmax = np.maximum(vmax, vv)
+    vmin_c = np.clip(vmin, 0, Ht - 1)
+    vmax_c = np.clip(vmax, 0, Ht - 1)
+    umin_c = np.clip(umin, 0, Wt - 1)
+    umax_c = np.clip(umax, 0, Wt - 1)
+    tier1 = ((np.floor(vmax_c) - np.floor(vmin_c / 8) * 8 < 32)
+             & (np.floor(umax_c) - np.floor(umin_c / 128) * 128 < 128))
+    frac = tier1.reshape(-1)[code1].mean()
+    assert frac > 0.2, f"tier-1 fast path barely exercised: {frac:.2%}"
