@@ -403,3 +403,29 @@ def test_tight_tier_fast_path_exercised_and_exact():
              & (np.floor(umax_c) - np.floor(umin_c / 128) * 128 < 128))
     frac = tier1.reshape(-1)[code1].mean()
     assert frac > 0.2, f"tier-1 fast path barely exercised: {frac:.2%}"
+
+
+def test_defer_writeback_off_matches_on():
+    """pallas_defer_writeback=False (the old inline start+wait
+    write-backs) must match the deferred default bit-for-bit — the
+    deferral changes DMA wait placement only."""
+    cfg_i = FusionConfig(vol_dim=(32, 32, 32), hist_dtype=jnp.uint16,
+                         pallas_rect=(128, 256),
+                         pallas_defer_writeback=False)
+    frames = _frames(3)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    b_on = to_blocked(init_from_first_frame(CFG, depth0, K4, md), CFG)
+    b_off = to_blocked(init_from_first_frame(cfg_i, depth0, K4, md),
+                       cfg_i)
+    E0inv = np.linalg.inv(frames[0][3])
+    for depth, img, mask, E in frames:
+        e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+        args = (jnp.asarray(depth), jnp.asarray(img), jnp.asarray(mask),
+                e2i, jnp.asarray(K4))
+        b_on, m_on = fuse_frame_blocked(b_on, *args, CFG)
+        b_off, m_off = fuse_frame_blocked(b_off, *args, cfg_i)
+        assert int(m_on) == 0 and int(m_off) == 0
+    for f in ("weight", "hist", "colorpk", "diff"):
+        np.testing.assert_array_equal(np.asarray(getattr(b_off, f)),
+                                      np.asarray(getattr(b_on, f)))
