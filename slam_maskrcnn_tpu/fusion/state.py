@@ -123,6 +123,28 @@ class FusionConfig:
     # overhead roughly cancels the win. See ops/pallas/fuse_kernel.py.
     pallas_sparse: bool = False
     vis_block_budget: int = 16384
+    # Compacted STREAMED main grid (the round-4 512^3 grid lever): the
+    # dense grid pays its ~13 ms zero-visible floor streaming + visiting
+    # every block even though 82% are pre-classified identity, while
+    # pallas_sparse's alternatives pay either a 16 ms XLA gather/scatter
+    # or per-block manual state DMA waits. Compact mode instead drives
+    # the BlockSpec index_map itself from a scalar-prefetched list of
+    # non-identity block RUNS (pallas_compact_grp consecutive blocks):
+    # the grid has one step per listed run, the pipeline streams ONLY
+    # those runs (in ascending id order), and identity runs are never
+    # streamed, visited, or written (input/output aliasing keeps their
+    # bytes). Padding steps (budget > live runs) point at an all-identity
+    # run, whose code-0 slots commit the identity — exact in both
+    # compiled and interpret modes. Bit-exact vs the dense grid by
+    # construction (same kernel body, same per-block codes); runs beyond
+    # vis_block_budget blocks count into the miss channel. Mutually
+    # exclusive with pallas_sparse (sparse wins if both set).
+    pallas_compact: bool = False
+    # Blocks per compacted run: 1 maximizes skipping (only non-identity
+    # blocks stream) but pays one grid step per block; larger runs
+    # amortize per-step pipeline cost over G streamed blocks. NB must be
+    # divisible by it.
+    pallas_compact_grp: int = 8
     # Banded rect table ("gather" lookup only): the two packed frame
     # tables (depth+mask, color) interleave in 8-row bands inside ONE
     # [2H, W] table, so each visible block issues ONE rect DMA instead

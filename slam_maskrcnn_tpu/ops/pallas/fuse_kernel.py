@@ -538,7 +538,15 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  lookup: str = "gather", hist_hbm: bool = False,
                  state_hbm: bool = False, banded: bool = False,
                  frame_vmem: bool = False, defer_wb: bool = True,
-                 uniform_skip: bool = True):
+                 uniform_skip: bool = True,
+                 compact: bool = False, ids_off: int = 0):
+    # compact: the grid is a compacted list of non-identity block RUNS
+    # (cfg.pallas_compact): grid step s processes the `group` consecutive
+    # blocks of run origins_ref[ids_off + s]; the state BlockSpecs'
+    # index_map reads the same SMEM word, so the pipeline streams exactly
+    # those runs and identity runs are never touched (aliasing keeps
+    # their bytes). Block ids here are TRUE ids (coords stays "arith",
+    # the dense [NB*3] origins table is indexed directly).
     # frame_vmem: the whole banded packed table lives in VMEM (the rect12
     # scratch slot holds it; ONE table DMA at grid step 0) and each
     # visible block reads its [2*rect_h, rect_w] window as a
@@ -711,7 +719,11 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             for w in range(NSLOT - 1):
                 @pl.when(w * group + g < nsteps * group)
                 def _():
-                    _issue_one(w * group + g, g, w)
+                    if compact:
+                        _issue_one(origins_ref[ids_off + w] * group + g,
+                                   g, w)
+                    else:
+                        _issue_one(w * group + g, g, w)
             return 0
 
         jax.lax.fori_loop(0, group, _pro, 0)
@@ -748,7 +760,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     k_lane = (jj % K).astype(jnp.float32)
 
     def _block_body(g, _):
-        blk = step * group + g
+        if compact:
+            blk = origins_ref[ids_off + step] * group + g
+        else:
+            blk = step * group + g
         hid = _hist_id(blk)
 
         # issue lane g of group step+NSLOT-1's DMAs first (merged
@@ -756,8 +771,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
         # and the per-block loop is visited once, not twice)
         @pl.when(step + (NSLOT - 1) < nsteps)
         def _():
-            _issue_one(blk + (NSLOT - 1) * group, g,
-                       jax.lax.rem(step + (NSLOT - 1), NSLOT))
+            if compact:
+                _issue_one(origins_ref[ids_off + step + (NSLOT - 1)]
+                           * group + g, g,
+                           jax.lax.rem(step + (NSLOT - 1), NSLOT))
+            else:
+                _issue_one(blk + (NSLOT - 1) * group, g,
+                           jax.lax.rem(step + (NSLOT - 1), NSLOT))
 
         # state accessors: VMEM staging slots in state_hbm mode (filled by
         # the prefetch DMAs), BlockSpec-streamed blocks otherwise
@@ -1291,7 +1311,98 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                          axis=1).reshape(2 * Hp, Wp)
         pk1 = pk2 = pk12
 
-    if not sparse:
+    compact = getattr(cfg, "pallas_compact", False) and not sparse
+    if compact:
+        # ---- compacted streamed main grid (see FusionConfig.pallas_compact)
+        # One grid step per non-identity RUN of CG consecutive blocks; the
+        # run-id list rides the scalar prefetch operand (appended after
+        # the dense origins table) and drives BOTH the kernel's block ids
+        # and the state BlockSpecs' index_map — the pipeline streams only
+        # listed runs; identity runs keep their bytes via aliasing. NO
+        # XLA gather/scatter and NO manual state DMA anywhere.
+        CG = int(getattr(cfg, "pallas_compact_grp", 8))
+        assert NB % CG == 0, f"NB {NB} not divisible by compact grp {CG}"
+        NBR = NB // CG
+        o3c = origins.reshape(NB, 3)
+        flags_b = o3c[:, 2] > 0
+        flags_r = flags_b.reshape(NBR, CG).any(axis=1)
+        n_runs = flags_r.sum()
+        BV = min(getattr(cfg, "vis_block_budget", 16384), NB)
+        BR = max(min(BV // CG, NBR), 1)
+        (rids,) = jnp.nonzero(flags_r, size=BR, fill_value=NBR)
+        # padding steps point at an all-identity run: its code-0 slots
+        # commit the identity (out = streamed input), and it is never a
+        # real step's target — exact under both the compiled pipeline's
+        # same-index copy elision and interpret mode. argmin(flags) finds
+        # one whenever padding exists (n_runs < BR <= NBR).
+        pid = jnp.argmin(flags_r.astype(jnp.int32)).astype(jnp.int32)
+        rids_p = jnp.where(rids < NBR, rids, pid).astype(jnp.int32)
+        sp_c = jnp.concatenate([origins, rids_p])
+        ids_off = origins.shape[0]
+
+        kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
+                       rect_h=rect_h, rect_w=rect_w,
+                       color_diff_gate=cfg.color_diff_gate,
+                       depth_scale=cfg.depth_scale, group=CG,
+                       lookup=lookup, hist_hbm=True, banded=banded,
+                       frame_vmem=frame_vmem, defer_wb=defer_wb,
+                       state_hbm=False, uniform_skip=uniform_skip,
+                       compact=True, ids_off=ids_off)
+        sspec = pl.BlockSpec((CG, TILE_S, TILE_L),
+                             lambda i, o: (o[ids_off + i], 0, 0),
+                             memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BR,),
+            in_specs=[
+                pl.BlockSpec((32,), lambda i, o: (0,),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),  # pk1 stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # pk2
+                sspec, sspec, sspec,
+                pl.BlockSpec(memory_space=pl.ANY),  # hist: gated true-id DMA
+            ],
+            out_specs=[
+                sspec, sspec, sspec,
+                pl.BlockSpec(memory_space=pl.ANY),  # hist out = aliased in
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                (pltpu.VMEM(pk1.shape, jnp.float32) if frame_vmem
+                 else pltpu.VMEM((NSLOT, CG, 2 * rect_h, rect_w),
+                                 jnp.float32)),
+                (pltpu.SemaphoreType.DMA if frame_vmem
+                 else pltpu.SemaphoreType.DMA((2, NSLOT, CG))),
+                pltpu.VMEM((NSLOT, CG, HRK, TILE_L), b.hist.dtype),
+                pltpu.SemaphoreType.DMA((NSLOT, CG)),
+                pltpu.VMEM((NSLOT, CG, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((NSLOT, CG, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((NSLOT, CG, TILE_S, TILE_L), jnp.int32),
+                pltpu.SemaphoreType.DMA((3, NSLOT, CG)),
+                pltpu.SMEM((4 * NSLOT * CG,), jnp.int32),
+            ],
+        )
+        new_diff, new_cpk, new_wt, new_hist, miss = pl.pallas_call(
+            kern,
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            out_shape=[
+                jax.ShapeDtypeStruct(b.diff.shape, jnp.float32),
+                jax.ShapeDtypeStruct(b.colorpk.shape, jnp.float32),
+                jax.ShapeDtypeStruct(b.weight.shape, jnp.int32),
+                jax.ShapeDtypeStruct(b.hist.shape, b.hist.dtype),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+            interpret=interpret,
+        )(sp_c, params, pk1, pk2, b.diff, b.colorpk, b.weight, b.hist)
+        miss0 = miss[0, 0]
+        # runs beyond the budget: count their whole blocks (conservative
+        # — a dropped run holds >= 1 flagged block), the same contract as
+        # the escalation budgets
+        over0 = jnp.maximum(n_runs - BR, 0) * CG
+    elif not sparse:
         kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
                        rect_h=rect_h, rect_w=rect_w,
                        color_diff_gate=cfg.color_diff_gate,

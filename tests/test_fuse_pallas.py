@@ -239,6 +239,69 @@ def test_sparse_budget_overflow_counts_misses():
     assert int(m_s) >= BLOCK_VOX, f"expected whole-block misses, got {m_s}"
 
 
+def test_compact_grid_matches_dense():
+    """pallas_compact=True (index_map-driven compacted streamed grid:
+    one grid step per non-identity block run, identity runs never
+    streamed, padding steps pointed at an all-identity run) must be
+    bit-exact vs the dense grid at every run granularity, including
+    grp=16 where runs coincide with the dense GROUP slabs and grp=1
+    where only non-identity blocks stream."""
+    frames = _frames(3)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    E0inv = np.linalg.inv(frames[0][3])
+    for grp in (1, 4, 16):
+        cfg_c = FusionConfig(vol_dim=(32, 32, 32), hist_dtype=jnp.uint16,
+                             pallas_rect=(128, 256), pallas_compact=True,
+                             pallas_compact_grp=grp,
+                             # budget 12 blocks-worth of runs < the 16
+                             # blocks of a 32^3 volume at grp=1: forces
+                             # live padding steps at every grp
+                             vis_block_budget=12 if grp == 1 else 16384)
+        b_d = to_blocked(init_from_first_frame(CFG, depth0, K4, md), CFG)
+        b_c = to_blocked(init_from_first_frame(cfg_c, depth0, K4, md),
+                         cfg_c)
+        m_c_last = 0
+        for depth, img, mask, E in frames:
+            e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+            args = (jnp.asarray(depth), jnp.asarray(img),
+                    jnp.asarray(mask), e2i, jnp.asarray(K4))
+            b_d, m_d = fuse_frame_blocked(b_d, *args, CFG)
+            b_c, m_c = fuse_frame_blocked(b_c, *args, cfg_c)
+            assert int(m_d) == 0
+            m_c_last = int(m_c)
+        if grp == 1 and m_c_last > 0:
+            # the tight budget may overflow on this fixture — then the
+            # miss channel must say so and the comparison is waived
+            from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import BLOCK_VOX
+            assert m_c_last >= BLOCK_VOX
+            continue
+        for f in ("weight", "hist", "colorpk", "diff"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(b_c, f)), np.asarray(getattr(b_d, f)),
+                err_msg=f"compact grp={grp} field {f}")
+
+
+def test_compact_budget_overflow_counts_misses():
+    """Non-identity runs beyond vis_block_budget must land in the miss
+    channel as whole blocks (the no-silent-caps contract)."""
+    cfg_c = FusionConfig(vol_dim=(64, 64, 64), hist_dtype=jnp.uint16,
+                         pallas_rect=(128, 256), pallas_compact=True,
+                         pallas_compact_grp=1, vis_block_budget=16)
+    frames = _frames(1)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    b_c = to_blocked(init_from_first_frame(cfg_c, depth0, K4, md), cfg_c)
+    E0inv = np.linalg.inv(frames[0][3])
+    depth, img, mask, E = frames[0]
+    e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+    b_c, m_c = fuse_frame_blocked(b_c, jnp.asarray(depth), jnp.asarray(img),
+                                  jnp.asarray(mask), e2i, jnp.asarray(K4),
+                                  cfg_c)
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import BLOCK_VOX
+    assert int(m_c) >= BLOCK_VOX, f"expected whole-block misses, got {m_c}"
+
+
 def test_banded_rect_matches_plain():
     """pallas_banded_rect=True (both packed tables in ONE 8-row-banded
     DMA per block) must be bit-exact vs the two-copy layout, including
