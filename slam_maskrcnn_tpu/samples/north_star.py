@@ -161,6 +161,15 @@ def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
     state, misses = fuse_frame_blocked_impl(state, depth, color_bgr, mask_g,
                                             e2i, intrinsic, cfg)
 
+    if render_mode == "none":
+        # measurement mode: everything but the in-loop render (candidate
+        # refresh, probe, association and fuse all still run) — the
+        # composed-chunk A/B that isolates the render's true cost inside
+        # the one-jit frame (isolated stage timings carry ~3.5 ms of
+        # relay dispatch each, PERFORMANCE.md)
+        return (state, jnp.zeros((H, W, 3), jnp.uint8), mask_g,
+                misses + overflow)
+
     # ---- render in the loop (viewer.cu orbit camera) ----
     M, m4 = pinhole_of_orbit(angle, dist, intrinsic)
     if cands is not None:

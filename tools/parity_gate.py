@@ -93,6 +93,12 @@ FUSION_VARIANTS = {
     # pass) at the 512^3 bench kernel shape — see FusionConfig.pallas_sparse
     "sparse": dict(vol=128, pallas_sparse=True, pallas_rect=(48, 256),
                    pallas_rect_mid=(128, 384), near_block_budget=512),
+    # the compacted STREAMED grid (index_map-prefetched run list +
+    # aliasing-elided identity runs — Mosaic-only semantics CPU interpret
+    # cannot vouch for) at the 512^3 bench kernel shape — see
+    # FusionConfig.pallas_compact
+    "compact": dict(vol=128, pallas_compact=True, pallas_rect=(48, 256),
+                    pallas_rect_mid=(128, 384), near_block_budget=512),
 }
 
 
