@@ -202,6 +202,9 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
                        splat_max_rows=49152, near_block_budget=128,
                        pallas_rect=(48, 256), pallas_rect_mid=(128, 384),
                        mid_block_budget=768,
+                       # 32 blocks per dense grid step: A/B 16/32/64 ->
+                       # 25.96/25.26/compile-OOM ms at 512^3 (r4)
+                       pallas_group=32,
                        # cap 20: candidate-set sweep 24 -> 20 keeps
                        # winner agreement ~0.999 (16 drops to 0.970);
                        # clipped entries land in the clip channel
@@ -422,7 +425,8 @@ def main():
             512, 12, splat_max_blocks=8192, splat_max_surface=1024 * 1024,
             splat_max_rows=49152, near_block_budget=512,
             pallas_rect=(48, 256), pallas_rect_mid=(128, 384),
-            mid_block_budget=1024, probe_mode="depth", probe_stride=2)
+            mid_block_budget=1024, probe_mode="depth", probe_stride=2,
+            pallas_group=32)
         extra["fused_fps_512"] = round(fps512, 3)
         extra["rect_misses_512"] = miss512
         del pack

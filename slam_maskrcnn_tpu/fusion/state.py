@@ -145,6 +145,11 @@ class FusionConfig:
     # amortize per-step pipeline cost over G streamed blocks. NB must be
     # divisible by it.
     pallas_compact_grp: int = 8
+    # Blocks per DENSE grid step (the main pass's inner fori length):
+    # larger groups amortize per-grid-step pipeline cost over more
+    # blocks at the price of bigger hist staging scratch (~256 KB/block
+    # at K=32 u16). Clamped down to a divisor of NB.
+    pallas_group: int = 16
     # Banded rect table ("gather" lookup only): the two packed frame
     # tables (depth+mask, color) interleave in 8-row bands inside ONE
     # [2H, W] table, so each visible block issues ONE rect DMA instead

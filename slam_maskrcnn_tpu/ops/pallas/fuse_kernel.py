@@ -197,7 +197,8 @@ def _pack_frame(depth, color, mask):
 def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
                    rect_h=RECT_H, rect_w=RECT_W, img_h=None, img_w=None,
                    transposed: bool = False, rect_mid=None,
-                   depth=None, depth_scale=1000.0, mu=None):
+                   depth=None, depth_scale=1000.0, mu=None,
+                   merge_mid: bool = False):
     """Rect origin (a0, b0) per block from the 8 projected corners (XLA,
     dense), where a is the DMA sublane dim (8-aligned starts) and b the
     lane dim (128-aligned starts). Normal orientation: (a, b) = (v, u)
@@ -349,22 +350,36 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
 
     if rect_mid is not None:
         am0, bm0, too_big_m = rect_fit(*rect_mid)
-        flag_mid = (all_front & overlap & too_big & ~too_big_m
+        mid_mask = (all_front & overlap & too_big & ~too_big_m
                     & ~free & ~behind)
         flag_full = any_front & (partial_behind
                                  | (overlap & too_big & too_big_m
                                     & ~free & ~behind))
-        origins_mid = jnp.stack(
-            [am0.reshape(-1), bm0.reshape(-1)], axis=-1).reshape(-1)
+        if merge_mid:
+            # mid blocks fuse inside pass A as vis code 3 with MID
+            # origins in the shared slots (frame_vmem window reads);
+            # the separate compacted mid pass disappears
+            a0 = jnp.where(mid_mask, am0, a0)
+            b0 = jnp.where(mid_mask, bm0, b0)
+            flag_mid = jnp.zeros_like(vis)
+            origins_mid = None
+        else:
+            flag_mid = mid_mask
+            origins_mid = jnp.stack(
+                [am0.reshape(-1), bm0.reshape(-1)], axis=-1).reshape(-1)
     else:
+        mid_mask = jnp.zeros_like(vis)
         flag_mid = jnp.zeros_like(vis)
         flag_full = any_front & (partial_behind
                                  | (overlap & too_big & ~free & ~behind))
         origins_mid = None
     # vis codes: 0 skip (invisible/behind), 1 full lookup, 2 free
     # closed-form (needs no rect, so free blocks resolve in pass A even
-    # when their footprint exceeds every rect tier)
+    # when their footprint exceeds every rect tier), 3 merged mid tier
+    # (merge_mid only)
     vis_code = jnp.where(free, 2, vis.astype(jnp.int32))
+    if merge_mid and rect_mid is not None:
+        vis_code = jnp.where(mid_mask, 3, vis_code)
     # flat [NB*3] (a0, b0, vis): a 2D SMEM operand would be lane-padded to
     # 128 wide and blow the 1MB SMEM budget
     origins = jnp.stack([a0.reshape(-1), b0.reshape(-1),
@@ -539,7 +554,15 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  state_hbm: bool = False, banded: bool = False,
                  frame_vmem: bool = False, defer_wb: bool = True,
                  uniform_skip: bool = True,
-                 compact: bool = False, ids_off: int = 0):
+                 compact: bool = False, ids_off: int = 0,
+                 merge_mid: bool = False, mid_h: int = 0, mid_w: int = 0):
+    # merge_mid (frame_vmem only): blocks whose footprint exceeds the
+    # pass-A rect but fits (mid_h, mid_w) carry vis code 3 with MID
+    # origins in the same table slots, and fuse here through a
+    # (mid_h, mid_w) window read from the VMEM-resident table — the
+    # separate compacted mid pass (its nonzero + state gather/scatter +
+    # grid fixed cost) disappears. Bit-exact: same update body, same
+    # coverage contract (the dispatch test mirrors pass M's rect_fit).
     # compact: the grid is a compacted list of non-identity block RUNS
     # (cfg.pallas_compact): grid step s processes the `group` consecutive
     # blocks of run origins_ref[ids_off + s]; the state BlockSpecs'
@@ -659,8 +682,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                                       wbuf.at[gslot, g],
                                       ssem.at[2, gslot, g]).start()
 
-        @pl.when(code == 1)
+        @pl.when((code == 1) | (code == 3))
         def _():
+            # code 3 (merged mid tier) exists only in frame_vmem mode:
+            # no rect DMA below fires for it, but the hist prefetch must
             v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
             u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
             if lookup == "gather_nodma" or frame_vmem:
@@ -864,8 +889,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             if not hist_hbm:
                 hist_out[g] = hist_ref[g]
 
-        @pl.when(origins_ref[blk * ostride + 2] == 1)
-        def _():
+        def _vis(vrh: int, vrw: int, full_tiers: bool):
+            # visible-block body over a (vrh, vrw) rect: pass A calls it
+            # with (rect_h, rect_w) + the full tight-tier dispatch; the
+            # merged mid tier (code 3) with (mid_h, mid_w)
             if coords == "arith":
                 bz = jax.lax.rem(blk, nbz)
                 by = jax.lax.rem(blk // nbz, nby)
@@ -895,7 +922,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 al, bl = u - oa0, v - ob0
             else:
                 al, bl = v - oa0, u - ob0
-            in_rect = (al >= 0) & (al < rect_h) & (bl >= 0) & (bl < rect_w)
+            in_rect = (al >= 0) & (al < vrh) & (bl >= 0) & (bl < vrw)
             miss_ref[0, 0] += jnp.sum((in_img & ~in_rect).astype(jnp.int32))
             ok = in_img & in_rect
 
@@ -1140,9 +1167,11 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 # 8-anchored window; 82% fit one 128-lane chunk). The
                 # window anchors to the FOOTPRINT (8/128-aligned floor of
                 # its absolute min, clamped to the table), not the rect:
+                #   tier 0 (16, 128): footprint fits the smallest spans
+                #                     (full_tiers passes only);
                 #   tier 1 (32, 128): footprint fits both tight spans;
-                #   tier 2 (rect_h, 128): lanes fit one chunk only;
-                #   tier 3 (rect_h, rect_w): the always-correct fallback.
+                #   tier 2 (vrh, 128): lanes fit one chunk only;
+                #   tier 3 (vrh, vrw): the always-correct fallback.
                 # Bit-exact: each tier's window covers the whole in-image
                 # footprint bbox by its dispatch test, so the uniform
                 # bounds see the same pixel set and ok-masking zeroes
@@ -1153,15 +1182,26 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 av_max = oa0 + al_max
                 au_max = ob0 + bl_max
                 nonempty = al_max >= al_min
-                RW1 = 32
+                RW0, RW1 = 16, 32
                 ca = jnp.clip(((ob0 + bl_min) // TILE_L) * TILE_L,
                               0, tab_w - TILE_L)
                 one_ch = nonempty & (au_max - ca < TILE_L)
-                if rect_w > TILE_L and rect_h > RW1:
+                if full_tiers and vrw > TILE_L and vrh > RW1:
+                    va0 = jnp.clip(((oa0 + al_min) // 8) * 8,
+                                   0, tab_h - RW0)
                     va = jnp.clip(((oa0 + al_min) // 8) * 8,
                                   0, tab_h - RW1)
-                    t1 = one_ch & (av_max - va < RW1)
-                    t2 = one_ch & ~t1
+                    t0 = one_ch & (av_max - va0 < RW0)
+                    t1 = one_ch & ~t0 & (av_max - va < RW1)
+                    t2 = one_ch & ~t0 & ~t1
+
+                    @pl.when(t0)
+                    def _():
+                        winv = rect12[
+                            pl.ds(pl.multiple_of(2 * va0, 16), 2 * RW0),
+                            pl.ds(pl.multiple_of(ca, 128), TILE_L)]
+                        _update_body(winv, va0 - oa0, ca - ob0,
+                                     RW0, TILE_L)
 
                     @pl.when(t1)
                     def _():
@@ -1174,25 +1214,50 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                     @pl.when(t2)
                     def _():
                         winv = rect12[
-                            pl.ds(v0b, 2 * rect_h),
+                            pl.ds(v0b, 2 * vrh),
                             pl.ds(pl.multiple_of(ca, 128), TILE_L)]
                         _update_body(winv, jnp.int32(0), ca - ob0,
-                                     rect_h, TILE_L)
+                                     vrh, TILE_L)
 
                     @pl.when(~one_ch)
                     def _():
-                        winv = rect12[pl.ds(v0b, 2 * rect_h),
-                                      pl.ds(b0a, rect_w)]
+                        winv = rect12[pl.ds(v0b, 2 * vrh),
+                                      pl.ds(b0a, vrw)]
                         _update_body(winv, jnp.int32(0), jnp.int32(0),
-                                     rect_h, rect_w)
+                                     vrh, vrw)
+                elif vrw > TILE_L:
+                    # merged mid tier: one-chunk / full-window dispatch
+                    @pl.when(one_ch)
+                    def _():
+                        winv = rect12[
+                            pl.ds(v0b, 2 * vrh),
+                            pl.ds(pl.multiple_of(ca, 128), TILE_L)]
+                        _update_body(winv, jnp.int32(0), ca - ob0,
+                                     vrh, TILE_L)
+
+                    @pl.when(~one_ch)
+                    def _():
+                        winv = rect12[pl.ds(v0b, 2 * vrh),
+                                      pl.ds(b0a, vrw)]
+                        _update_body(winv, jnp.int32(0), jnp.int32(0),
+                                     vrh, vrw)
                 else:
-                    winv = rect12[pl.ds(v0b, 2 * rect_h),
-                                  pl.ds(b0a, rect_w)]
+                    winv = rect12[pl.ds(v0b, 2 * vrh),
+                                  pl.ds(b0a, vrw)]
                     _update_body(winv, jnp.int32(0), jnp.int32(0),
-                                 rect_h, rect_w)
+                                 vrh, vrw)
             else:
                 _update_body(None, jnp.int32(0), jnp.int32(0),
-                             rect_h, rect_w)
+                             vrh, vrw)
+
+        @pl.when(origins_ref[blk * ostride + 2] == 1)
+        def _():
+            _vis(rect_h, rect_w, True)
+
+        if merge_mid:
+            @pl.when(origins_ref[blk * ostride + 2] == 3)
+            def _():
+                _vis(mid_h, mid_w, False)
         return 0
 
     jax.lax.fori_loop(0, group, _block_body, 0)
@@ -1242,6 +1307,10 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     cls_kw = (dict(depth=depth, depth_scale=cfg.depth_scale, mu=b.mu)
               if preclass else {})
     pk1, pk2 = _pack_frame(depth, color, mask)
+    banded = (lookup == "gather"
+              and getattr(cfg, "pallas_banded_rect", False))
+    frame_vmem = (lookup == "gather" and not banded
+                  and getattr(cfg, "pallas_frame_vmem", True))
     if lookup == "gather_t":
         # transposed tables [W', H']: the 8-slack sublane alignment lands
         # on u and the rect shrinks (see _block_origins / FusionConfig)
@@ -1258,12 +1327,19 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         rect_h, rect_w = getattr(cfg, "pallas_rect", (RECT_H, RECT_W))
         # pad the packed tables so a clamped rect DMA is always in bounds
         Hp, Wp = max(H, rect_h), max(W, rect_w)
+        if frame_vmem:
+            # size gate: the VMEM-resident table must leave room for the
+            # hist/state scratch (~12 MB of a 100 MB budget is generous)
+            fhg = max((Hp + 7) // 8 * 8, rect_mid[0])
+            fwg = max((Wp + 127) // 128 * 128, rect_mid[1])
+            if 2 * fhg * fwg * 4 > 12 * 1024 * 1024:
+                frame_vmem = False
         if (Hp, Wp) != (H, W):
             pk1 = jnp.pad(pk1, ((0, Hp - H), (0, Wp - W)))
             pk2 = jnp.pad(pk2, ((0, Hp - H), (0, Wp - W)))
         origins, flag_mid, flag_full, origins_mid = _block_origins(
             b, extrinsic2init, intrinsic, Hp, Wp, rect_h, rect_w,
-            rect_mid=rect_mid, **cls_kw)
+            rect_mid=rect_mid, merge_mid=frame_vmem, **cls_kw)
 
     E = extrinsic2init.astype(jnp.float32)
     Km = intrinsic.astype(jnp.float32)
@@ -1283,17 +1359,8 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     sparse = getattr(cfg, "pallas_sparse", False)
     state_hbm = cfg.pallas_state_hbm and not sparse
     defer_wb = getattr(cfg, "pallas_defer_writeback", True)
-    banded = (lookup == "gather"
-              and getattr(cfg, "pallas_banded_rect", False))
-    frame_vmem = (lookup == "gather" and not banded
-                  and getattr(cfg, "pallas_frame_vmem", True))
-    if frame_vmem:
-        # size gate: the VMEM-resident table must leave room for the
-        # hist/state scratch (~12 MB of a 100 MB budget is generous)
-        fh = max((Hp + 7) // 8 * 8, rect_mid[0])
-        fw = max((Wp + 127) // 128 * 128, rect_mid[1])
-        if 2 * fh * fw * 4 > 12 * 1024 * 1024:
-            frame_vmem = False
+    merge_mid = frame_vmem  # mid tier fused into pass A (code 3)
+    mid_h, mid_w = rect_mid
     if banded or frame_vmem:
         # pad to the largest window any pass needs, then interleave the
         # two packed tables in 8-row bands ONCE — every pass's rect DMA
@@ -1347,7 +1414,8 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                        lookup=lookup, hist_hbm=True, banded=banded,
                        frame_vmem=frame_vmem, defer_wb=defer_wb,
                        state_hbm=False, uniform_skip=uniform_skip,
-                       compact=True, ids_off=ids_off)
+                       compact=True, ids_off=ids_off,
+                       merge_mid=merge_mid, mid_h=mid_h, mid_w=mid_w)
         sspec = pl.BlockSpec((CG, TILE_S, TILE_L),
                              lambda i, o: (o[ids_off + i], 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1403,25 +1471,29 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         # the escalation budgets
         over0 = jnp.maximum(n_runs - BR, 0) * CG
     elif not sparse:
+        GD = max(1, min(int(getattr(cfg, "pallas_group", GROUP)), NB))
+        while NB % GD:
+            GD //= 2
         kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
                        rect_h=rect_h, rect_w=rect_w,
                        color_diff_gate=cfg.color_diff_gate,
-                       depth_scale=cfg.depth_scale, group=GROUP,
+                       depth_scale=cfg.depth_scale, group=GD,
                        lookup=lookup, hist_hbm=True, banded=banded,
                        frame_vmem=frame_vmem, defer_wb=defer_wb,
-                       state_hbm=state_hbm, uniform_skip=uniform_skip)
+                       state_hbm=state_hbm, uniform_skip=uniform_skip,
+                       merge_mid=merge_mid, mid_h=mid_h, mid_w=mid_w)
 
         if state_hbm:
             state_spec = pl.BlockSpec(memory_space=pl.ANY)
             state_specs = [state_spec, state_spec, state_spec]
         else:
-            sspec = pl.BlockSpec((GROUP, TILE_S, TILE_L),
+            sspec = pl.BlockSpec((GD, TILE_S, TILE_L),
                                  lambda i, o: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
             state_specs = [sspec, sspec, sspec]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(NB // GROUP,),
+            grid=(NB // GD,),
             in_specs=[
                 pl.BlockSpec((32,), lambda i, o: (0,),
                              memory_space=pltpu.SMEM),
@@ -1439,17 +1511,17 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                 # slot 0: per-block rect windows (DMA modes) OR the whole
                 # VMEM-resident banded table (frame_vmem mode)
                 (pltpu.VMEM(pk1.shape, jnp.float32) if frame_vmem
-                 else pltpu.VMEM((NSLOT, GROUP, 2 * rect_h, rect_w),
+                 else pltpu.VMEM((NSLOT, GD, 2 * rect_h, rect_w),
                                  jnp.float32)),
                 (pltpu.SemaphoreType.DMA if frame_vmem
-                 else pltpu.SemaphoreType.DMA((2, NSLOT, GROUP))),
-                pltpu.VMEM((NSLOT, GROUP, HRK, TILE_L), b.hist.dtype),
-                pltpu.SemaphoreType.DMA((NSLOT, GROUP)),
-                pltpu.VMEM((NSLOT, GROUP, TILE_S, TILE_L), jnp.float32),
-                pltpu.VMEM((NSLOT, GROUP, TILE_S, TILE_L), jnp.float32),
-                pltpu.VMEM((NSLOT, GROUP, TILE_S, TILE_L), jnp.int32),
-                pltpu.SemaphoreType.DMA((3, NSLOT, GROUP)),
-                pltpu.SMEM((4 * NSLOT * GROUP,), jnp.int32),
+                 else pltpu.SemaphoreType.DMA((2, NSLOT, GD))),
+                pltpu.VMEM((NSLOT, GD, HRK, TILE_L), b.hist.dtype),
+                pltpu.SemaphoreType.DMA((NSLOT, GD)),
+                pltpu.VMEM((NSLOT, GD, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((NSLOT, GD, TILE_S, TILE_L), jnp.float32),
+                pltpu.VMEM((NSLOT, GD, TILE_S, TILE_L), jnp.int32),
+                pltpu.SemaphoreType.DMA((3, NSLOT, GD)),
+                pltpu.SMEM((4 * NSLOT * GD,), jnp.int32),
             ],
         )
 
@@ -1504,7 +1576,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
 
     def compacted_pass(state_arrays, flags, origs, rect, budget, grp,
                        codes=None, hist_hbm=False, st_hbm=False,
-                       fv=False, band=False):
+                       fv=False, band=False, merge=False):
         """Fuse the `flags` blocks (up to `budget`) with a `rect`-sized
         window at per-slot origins. Returns (updated arrays, misses,
         whole-block overflow count).
@@ -1542,7 +1614,8 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                          coords="smem", lookup=lookup, hist_hbm=hist_hbm,
                          banded=band, frame_vmem=fv, state_hbm=st_hbm,
                          defer_wb=defer_wb,
-                         uniform_skip=uniform_skip)
+                         uniform_skip=uniform_skip,
+                         merge_mid=merge, mid_h=mid_h, mid_w=mid_w)
         hist_spec = (pl.BlockSpec(memory_space=pl.ANY) if hist_hbm
                      else pl.BlockSpec((grp, HRK2, TILE_L),
                                        lambda i, o: (i, 0, 0),
@@ -1629,11 +1702,18 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         arrays, miss0, over0 = compacted_pass(
             arrays, o3[:, 2] > 0, o3[:, :2].reshape(-1),
             (rect_h, rect_w), BV, GROUP, codes=o3[:, 2], hist_hbm=True,
-            st_hbm=cfg.pallas_state_hbm, fv=frame_vmem, band=banded)
-    BM = min(getattr(cfg, "mid_block_budget", 2048), NB)
-    arrays, miss_m, over_m = compacted_pass(
-        arrays, flag_mid, origins_mid, rect_mid, BM, 8,
-        fv=frame_vmem, band=banded)
+            st_hbm=cfg.pallas_state_hbm, fv=frame_vmem, band=banded,
+            merge=merge_mid)
+    if merge_mid:
+        # mid blocks fused inside pass A (code 3) — no separate pass,
+        # no mid budget to overflow
+        miss_m = jnp.zeros((), jnp.int32)
+        over_m = jnp.zeros((), jnp.int32)
+    else:
+        BM = min(getattr(cfg, "mid_block_budget", 2048), NB)
+        arrays, miss_m, over_m = compacted_pass(
+            arrays, flag_mid, origins_mid, rect_mid, BM, 8,
+            fv=frame_vmem, band=banded)
     B2 = min(getattr(cfg, "near_block_budget", 128), NB)
     # pass B's full-image window would blow the vreg budget as a value —
     # it keeps the per-block DMA form (banded single-copy when the table

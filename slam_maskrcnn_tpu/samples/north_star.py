@@ -188,8 +188,14 @@ def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
                                            cfg.splat_max_rows,
                                            cfg.splat_max_surface,
                                            cfg.splat_row_cap, fill=True)
-    render = _shade(zbuf.reshape(H, W), vid.reshape(H, W), state.colorpk,
-                    state.hist, render_mode)
+    if render_mode == "splatonly":
+        # measurement mode: splat without shading — the headline-vs-this
+        # delta is the _shade cost inside the composed frame
+        render = jnp.broadcast_to(
+            (vid.reshape(H, W, 1) % 255).astype(jnp.uint8), (H, W, 3))
+    else:
+        render = _shade(zbuf.reshape(H, W), vid.reshape(H, W),
+                        state.colorpk, state.hist, render_mode)
     return state, render, mask_g, misses + overflow
 
 

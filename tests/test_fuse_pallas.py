@@ -302,6 +302,79 @@ def test_compact_budget_overflow_counts_misses():
     assert int(m_c) >= BLOCK_VOX, f"expected whole-block misses, got {m_c}"
 
 
+def test_merged_mid_tier_matches_separate_pass():
+    """merge_mid (frame_vmem): blocks exceeding the pass-A rect fuse
+    inside pass A through a (mid_h, mid_w) window (vis code 3) instead
+    of the separate compacted mid pass. A tiny pass-A rect forces most
+    blocks into the mid tier; results must be bit-exact vs the
+    separate-pass path (pallas_frame_vmem=False) and match the XLA
+    oracle within the main test's tolerance."""
+    kw = dict(vol_dim=(32, 32, 32), hist_dtype=jnp.uint16,
+              pallas_rect=(16, 128), pallas_rect_mid=(128, 256))
+    cfg_m = FusionConfig(**kw)                         # merged (default)
+    cfg_p = FusionConfig(**kw, pallas_frame_vmem=False)  # separate pass M
+    frames = _frames(3)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+
+    # the fixture must actually exercise the merged tier
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import _block_origins
+    b0 = to_blocked(init_from_first_frame(cfg_m, depth0, K4, md), cfg_m)
+    E0inv = np.linalg.inv(frames[0][3])
+    e2i0 = jnp.asarray((frames[0][3] @ E0inv).astype(np.float32))
+    origins, _fm, _ff, _om = _block_origins(
+        b0, e2i0, jnp.asarray(K4), 128, 256, 16, 128, img_h=H, img_w=W,
+        rect_mid=(128, 256), merge_mid=True)
+    codes = np.asarray(origins).reshape(-1, 3)[:, 2]
+    assert (codes == 3).sum() > 0, "fixture exercises no mid-tier blocks"
+
+    xla = init_from_first_frame(cfg_m, depth0, K4, md)
+    b_m = to_blocked(init_from_first_frame(cfg_m, depth0, K4, md), cfg_m)
+    b_p = to_blocked(init_from_first_frame(cfg_p, depth0, K4, md), cfg_p)
+    for depth, img, mask, E in frames:
+        e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+        args = (jnp.asarray(depth), jnp.asarray(img), jnp.asarray(mask),
+                e2i, jnp.asarray(K4))
+        xla = fuse_frame(xla, *args, cfg_m)
+        b_m, m_m = fuse_frame_blocked(b_m, *args, cfg_m)
+        b_p, m_p = fuse_frame_blocked(b_p, *args, cfg_p)
+        assert int(m_m) == 0 and int(m_p) == 0
+    for f in ("weight", "hist", "colorpk", "diff"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b_m, f)), np.asarray(getattr(b_p, f)),
+            err_msg=f"merged vs separate pass M: {f}")
+    dense = to_dense(b_m, cfg_m)
+    np.testing.assert_array_equal(np.asarray(dense.weight),
+                                  np.asarray(xla.weight))
+    np.testing.assert_array_equal(np.asarray(dense.hist),
+                                  np.asarray(xla.hist))
+    bad = ~np.isclose(np.asarray(dense.diff), np.asarray(xla.diff),
+                      atol=1e-5)
+    assert bad.mean() < 5e-4
+
+
+def test_group_knob_matches_default():
+    """pallas_group (dense-grid blocks per step) must not change values."""
+    cfg_g = FusionConfig(vol_dim=(32, 32, 32), hist_dtype=jnp.uint16,
+                         pallas_rect=(128, 256), pallas_group=4)
+    frames = _frames(2)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    b_d = to_blocked(init_from_first_frame(CFG, depth0, K4, md), CFG)
+    b_g = to_blocked(init_from_first_frame(cfg_g, depth0, K4, md), cfg_g)
+    E0inv = np.linalg.inv(frames[0][3])
+    for depth, img, mask, E in frames:
+        e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+        args = (jnp.asarray(depth), jnp.asarray(img), jnp.asarray(mask),
+                e2i, jnp.asarray(K4))
+        b_d, m_d = fuse_frame_blocked(b_d, *args, CFG)
+        b_g, m_g = fuse_frame_blocked(b_g, *args, cfg_g)
+        assert int(m_d) == 0 and int(m_g) == 0
+    for f in ("weight", "hist", "colorpk", "diff"):
+        np.testing.assert_array_equal(np.asarray(getattr(b_g, f)),
+                                      np.asarray(getattr(b_d, f)))
+
+
 def test_banded_rect_matches_plain():
     """pallas_banded_rect=True (both packed tables in ONE 8-row-banded
     DMA per block) must be bit-exact vs the two-copy layout, including
