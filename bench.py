@@ -164,7 +164,7 @@ def bench_detect(n=8):
     return (time.time() - t0) / n * 1000.0, (model, variables)
 
 
-def bench_north_star(model_pack, n_frames=12, H=480, W=640):
+def bench_north_star(model_pack, n_frames=16, H=480, W=640):
     """THE north-star row (BASELINE.md:30-33): Mask R-CNN inference +
     512^3 TSDF integration + splat raycast, composed as ONE device
     program per frame with the render inside the loop
@@ -262,7 +262,9 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
 
     # headline form: the batched chunk — detect hoisted out of the scan
     # as ONE model apply at batch n_frames (detect_mask_batched_impl;
-    # measured detect/frame 26.2 -> 13.6 ms going batch 1 -> 6), fuse +
+    # batch sweep r4: 26.2 (B=1) / 20.9 (4) / 18.6 (6) / 15.0 (8) /
+    # 16.9 (12) / 14.1 ms/frame (B=16) — 8/16 beat 12, XLA pads the
+    # conv batch dim to the next tile multiple), fuse +
     # render scanned over the precomputed masks. Same latency class as
     # the chunk itself (holds n_frames before fusing).
     state, renders, masks_g, misses = ns.run_chunk_batched(
@@ -285,6 +287,29 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
     batched_fps = 2 * n_frames / best_dt
     miss_total = int(jnp.sum(misses))
 
+    # render A/B: the SAME batched chunk with render_mode="none" —
+    # candidate refresh, probe, association and fuse all still run
+    # (samples/north_star.py fuse_render_step_impl), so the headline-vs-
+    # none fps delta is the composed in-loop render cost (candidate
+    # re-projection splat + shade), free of the ~3.5 ms/jit relay
+    # dispatch constant that inflates isolated stage timings
+    ns_none = NorthStar(model, K4, cfg, H, W, render_mode="none")
+    state, renders0, _m0, _mi0 = ns_none.run_chunk_batched(
+        state, depths, colors, es, angles, dist)
+    _ = float(jnp.sum(state.weight))
+    best_none = float("inf")
+    for _i in range(3):
+        t0 = time.time()
+        state, renders0, m0, mi0 = ns_none.run_chunk_batched(
+            state, depths, colors, es, angles, dist)
+        state, renders0, m0, mi0 = ns_none.run_chunk_batched(
+            state, depths, colors, es, angles, dist)
+        chk = float(jnp.sum(state.weight)
+                    + jnp.sum(m0).astype(jnp.float32))
+        best_none = min(best_none, time.time() - t0)
+    none_fps = 2 * n_frames / best_none
+    render_ms = max(1000.0 / batched_fps - 1000.0 / none_fps, 0.0)
+
     # per-frame-detect chunk (the scan with detect inside — the form a
     # strict one-frame-latency pipeline would scan), kept as a secondary
     state, renders, masks_g, misses = ns.run_chunk(state, depths, colors,
@@ -303,7 +328,8 @@ def bench_north_star(model_pack, n_frames=12, H=480, W=640):
         best_dt = min(best_dt, time.time() - t0)
     scan_fps = 2 * n_frames / best_dt
     return (batched_fps, scan_fps, percall_fps,
-            max(miss_total, int(jnp.sum(misses))), detect_batched_ms)
+            max(miss_total, int(jnp.sum(misses))), detect_batched_ms,
+            render_ms)
 
 
 def bench_e2e(model_pack, n_frames=16, H=480, W=640):
@@ -460,7 +486,7 @@ def main():
     try:
         if model_pack is not None:
             (ns_fps, ns_scan, ns_percall, ns_miss,
-             det_b_ms) = bench_north_star(model_pack)
+             det_b_ms, render_ms) = bench_north_star(model_pack)
             extra["north_star_scan_fps"] = round(ns_scan, 2)
             extra["north_star_percall_fps"] = round(ns_percall, 2)
             extra["north_star_misses"] = ns_miss
@@ -472,11 +498,19 @@ def main():
             # association + scan overhead)
             if "fused_fps_512" in extra:
                 fuse_ms = 1000.0 / extra["fused_fps_512"]
+                rest = 1000.0 / ns_fps - fuse_ms - det_b_ms
                 extra["ns_stage_ms"] = {
                     "detect": round(det_b_ms, 1),
                     "fuse_512": round(fuse_ms, 1),
-                    "render_rest": round(
-                        1000.0 / ns_fps - fuse_ms - det_b_ms, 1),
+                    # render = the composed render_mode="none" A/B delta
+                    # (candidate re-projection splat + shade, measured
+                    # inside the one-jit chunk); probe_assoc_scan = the
+                    # remainder (depth probe, association, candidate
+                    # refresh, scan overhead)
+                    "render": round(render_ms, 1),
+                    "probe_assoc_scan": round(max(rest - render_ms, 0.0),
+                                              1),
+                    "render_rest": round(rest, 1),
                 }
                 # the per-frame-latency (scan) form's table, detect at
                 # its chained per-dispatch cost, kept as a secondary
