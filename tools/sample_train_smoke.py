@@ -73,21 +73,37 @@ def make_nucleus_tree(root: str, n: int = 4, size: int = 96,
 
 def run_one(name: str, model, cfg, dataset, steps: int, epochs: int = 1,
             lr: float | None = None, val_ds=None, min_map=None,
-            inf_cfg=None):
+            inf_cfg=None, decay_after: float | None = None):
     """Run epochs x steps optimizer steps and record the loss CURVE
     (VERDICT r2 weak #5: 2 steps proved the graph executes, not that the
     config trains — now the committed artifact shows a real decrease).
     With `val_ds`, also move the trained params into an inference model
     and gate on mAP@50 over the held-out images (VERDICT r3 weak #7: a
     loss halving does not demonstrate a working detector — an mAP floor
-    does, as train_shapes already gates)."""
+    does, as train_shapes already gates). `decay_after`: fraction of the
+    epochs after which LR drops 10x — the reference's stage-wise schedule
+    (coco.py:510-535 trains heads/4+/all at LR then LR/10); a 600-step
+    constant-LR run measurably REGRESSED held-out mAP vs 300 steps
+    (balloon 0.50->0.20) — the tail oscillates without the drop."""
     from slam_maskrcnn_tpu.train import Trainer
 
     trainer = Trainer(model, cfg)
     t0 = time.time()
-    history = trainer.train(dataset, epochs=epochs, layers="all",
-                            learning_rate=lr,
-                            steps_per_epoch=steps, checkpoint=False)
+    if decay_after is None:
+        history = trainer.train(dataset, epochs=epochs, layers="all",
+                                learning_rate=lr,
+                                steps_per_epoch=steps, checkpoint=False)
+    else:
+        e1 = max(1, int(round(epochs * decay_after)))
+        lr0 = lr if lr is not None else cfg.LEARNING_RATE
+        history = trainer.train(dataset, epochs=e1, layers="all",
+                                learning_rate=lr0,
+                                steps_per_epoch=steps, checkpoint=False)
+        if e1 < epochs:
+            history += trainer.train(dataset, epochs=epochs, layers="all",
+                                     learning_rate=lr0 / 10.0,
+                                     steps_per_epoch=steps,
+                                     checkpoint=False)
     secs = time.time() - t0
     first, last = (history[0], history[-1]) if history else (None, None)
     out = {"sample": name, "steps": steps * epochs,
@@ -152,6 +168,9 @@ def main():
                     help="evaluate mAP@50 on held-out synthetic images "
                          "after training and record pass/fail against "
                          "this floor (VERDICT r3 weak #7)")
+    ap.add_argument("--decay-after", type=float, default=None,
+                    help="fraction of epochs after which LR drops 10x "
+                         "(the reference's stage-wise LR/10 schedule)")
     args = ap.parse_args()
     import jax
 
@@ -200,7 +219,8 @@ def main():
         results.append(run_one("balloon", model, cfg, ds, args.steps,
                                args.epochs, lr=args.lr, val_ds=val_ds,
                                min_map=args.min_map,
-                               inf_cfg=BalloonSmokeInference()))
+                               inf_cfg=BalloonSmokeInference(),
+                               decay_after=args.decay_after))
         del model
 
     with tempfile.TemporaryDirectory() as root:
@@ -228,7 +248,8 @@ def main():
         results.append(run_one("nucleus", model, cfg, ds, args.steps,
                                args.epochs, lr=args.lr, val_ds=val_ds,
                                min_map=args.min_map,
-                               inf_cfg=NucleusInferenceConfig()))
+                               inf_cfg=NucleusInferenceConfig(),
+                               decay_after=args.decay_after))
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
