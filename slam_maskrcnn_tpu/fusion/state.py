@@ -190,6 +190,29 @@ class FusionConfig:
     # 16 ms XLA gather/scatter of block state with ~0. Pair it with
     # pallas_sparse.
     pallas_state_hbm: bool = False
+    # Compacted VISITS on the dense streamed grid (the round-4 floor
+    # lever): the dense grid's fori loop pays an SMEM-read+branch visit
+    # for every block (~100 ns each — the measured ~13 ms zero-visible
+    # floor at 512^3, PERFORMANCE.md round 3b) although 82% are
+    # pre-classified identity. With this on, XLA appends per-group
+    # non-identity lane counts + front-packed lane lists to the scalar
+    # prefetch operand (one lane-merged minor-dim sort, the splat's
+    # compaction trick); each grid step commits the whole group's state
+    # with three vector copies (identity for all) and then visits ONLY
+    # the listed lanes. Bit-exact by construction: visited lanes run the
+    # identical update bodies and overwrite their lane of the bulk copy.
+    # Requires state streamed (not pallas_state_hbm), NB % 128 == 0 and
+    # pallas_group an even divisor of 128 — silently falls back to dense
+    # visits otherwise. Unlike pallas_compact (which shrinks the GRID
+    # and lost its win to per-step pipeline cost), the grid/streaming
+    # pipeline here is untouched; only the scalar-core visit loop
+    # compacts. MEASURED SLOWER at the 512^3 bench scene (27.15 vs
+    # 25.33 ms/frame, r4e): the identity visits the r3b floor analysis
+    # blamed (~100 ns SMEM-read+branch each) are NOT the dense grid's
+    # remaining cost — zero-visible floor probes (PERFORMANCE.md r4e)
+    # pin the floor to per-step streaming/pipeline structure. Kept
+    # (tested, bit-exact) as the measurement's executable record.
+    pallas_visit_compact: bool = False
     # splat probe/renderer compaction budgets: blocks holding surface, and
     # visible surface voxels kept for the z-buffer scatters. Scatter cost
     # scales with these STATIC sizes (measured 256^3 step: 326 ms at

@@ -555,7 +555,9 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  frame_vmem: bool = False, defer_wb: bool = True,
                  uniform_skip: bool = True,
                  compact: bool = False, ids_off: int = 0,
-                 merge_mid: bool = False, mid_h: int = 0, mid_w: int = 0):
+                 merge_mid: bool = False, mid_h: int = 0, mid_w: int = 0,
+                 visit_compact: bool = False, cnt_off: int = 0,
+                 lanes_off: int = 0):
     # merge_mid (frame_vmem only): blocks whose footprint exceeds the
     # pass-A rect but fits (mid_h, mid_w) carry vis code 3 with MID
     # origins in the same table slots, and fuse here through a
@@ -596,7 +598,29 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     # (bx, by, bz) arithmetically from its position; pass B (full-image
     # rect over a COMPACTED near-block subset) packs (v0, u0, vis, bx, by,
     # bz) because a compacted index says nothing about the coordinates
+    # visit_compact (dense streamed grid only): the scalar-prefetch
+    # operand additionally carries per-group non-identity lane COUNTS
+    # (at cnt_off) and front-packed lane LISTS (at lanes_off, `group`
+    # 16-bit slots per grid step, two per i32 word — SMEM is a hard
+    # 1 MB and the dense origins table alone is 768 KB at 512^3). Each grid step first passes the whole
+    # group's state through with three vector copies (the identity for
+    # every block — ~6 cycles/block on the VPU), then fori-loops over
+    # ONLY the listed non-identity lanes. The dense grid's per-block
+    # SMEM-read+branch visits (~100 ns each, 82% of them identity at the
+    # 512^3 bench scene — the measured ~13 ms zero-visible floor,
+    # PERFORMANCE.md round 3b) collapse to the non-identity count.
+    # Bit-exact: visited lanes run the identical update bodies and
+    # overwrite their lane of the bulk copy.
     ostride = 3 if coords == "arith" else 6
+
+    def _vc_lane(stepi, j):
+        # lane j of grid step stepi from the packed 16-bit lane list
+        # (group is even in visit_compact mode, so a step's slots start
+        # word-aligned)
+        w = origins_ref[lanes_off + stepi * (group // 2) + j // 2]
+        return jax.lax.shift_right_logical(
+            w, jax.lax.rem(j, 2) * 16) & 0xFFFF
+
     """See module docstring. Mosaic layout rules shape this code: lane
     dimensions must be multiples of 128, and (16,128)->(2048,1) casts are
     unsupported — so all per-voxel scalars are computed in a (2048, 1)
@@ -740,18 +764,29 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
             cp.wait()
         # prologue: the first NSLOT-1 groups' DMAs (afterwards, group
         # s+NSLOT-1's copies are issued INSIDE group s's block loop)
-        def _pro(g, _):
+        if visit_compact:
             for w in range(NSLOT - 1):
-                @pl.when(w * group + g < nsteps * group)
-                def _():
-                    if compact:
-                        _issue_one(origins_ref[ids_off + w] * group + g,
-                                   g, w)
-                    else:
+                @pl.when(jnp.int32(w) < nsteps)
+                def _(w=w):
+                    def _pi(j, _):
+                        g = _vc_lane(jnp.int32(w), j)
                         _issue_one(w * group + g, g, w)
-            return 0
+                        return 0
 
-        jax.lax.fori_loop(0, group, _pro, 0)
+                    jax.lax.fori_loop(0, origins_ref[cnt_off + w], _pi, 0)
+        else:
+            def _pro(g, _):
+                for w in range(NSLOT - 1):
+                    @pl.when(w * group + g < nsteps * group)
+                    def _():
+                        if compact:
+                            _issue_one(origins_ref[ids_off + w] * group + g,
+                                       g, w)
+                        else:
+                            _issue_one(w * group + g, g, w)
+                return 0
+
+            jax.lax.fori_loop(0, group, _pro, 0)
 
     # per-voxel coordinates in the native (16, 128) tile layout
     # (all VPU math runs here; earlier versions computed in a (2048, 1)
@@ -793,16 +828,20 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
         # issue lane g of group step+NSLOT-1's DMAs first (merged
         # prefetch: the copies get NSLOT-1 groups of compute to land in,
-        # and the per-block loop is visited once, not twice)
-        @pl.when(step + (NSLOT - 1) < nsteps)
-        def _():
-            if compact:
-                _issue_one(origins_ref[ids_off + step + (NSLOT - 1)]
-                           * group + g, g,
-                           jax.lax.rem(step + (NSLOT - 1), NSLOT))
-            else:
-                _issue_one(blk + (NSLOT - 1) * group, g,
-                           jax.lax.rem(step + (NSLOT - 1), NSLOT))
+        # and the per-block loop is visited once, not twice). In
+        # visit_compact mode the future group's lane list differs from
+        # this group's, so the issue runs in its own compacted loop
+        # before the body loop instead.
+        if not visit_compact:
+            @pl.when(step + (NSLOT - 1) < nsteps)
+            def _():
+                if compact:
+                    _issue_one(origins_ref[ids_off + step + (NSLOT - 1)]
+                               * group + g, g,
+                               jax.lax.rem(step + (NSLOT - 1), NSLOT))
+                else:
+                    _issue_one(blk + (NSLOT - 1) * group, g,
+                               jax.lax.rem(step + (NSLOT - 1), NSLOT))
 
         # state accessors: VMEM staging slots in state_hbm mode (filled by
         # the prefetch DMAs), BlockSpec-streamed blocks otherwise
@@ -866,13 +905,15 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 for _k, cp in cps:
                     cp.wait()
 
-        if not state_hbm:
+        if not state_hbm and not visit_compact:
             @pl.when(origins_ref[blk * ostride + 2] == 0)
             def _():
                 # block invisible this frame (or pre-classified behind):
                 # every voxel is invalid, the update is the identity —
                 # skip DMA/MXU entirely (in state_hbm mode the branch
-                # doesn't exist at all: the HBM alias keeps content)
+                # doesn't exist at all: the HBM alias keeps content; in
+                # visit_compact mode identity blocks are never visited —
+                # the whole-group bulk copy commits them)
                 commit()
                 if not hist_hbm:   # in-place HBM alias keeps content
                     hist_out[g] = hist_ref[g]
@@ -1260,7 +1301,36 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 _vis(mid_h, mid_w, False)
         return 0
 
-    jax.lax.fori_loop(0, group, _block_body, 0)
+    if visit_compact:
+        # whole-group identity pass-through: three vector copies commit
+        # every block's state unchanged; the compacted lane loop below
+        # overwrites the non-identity lanes with their real updates.
+        # (hist is HBM-aliased in this mode — identity blocks never
+        # touch it.)
+        diff_out[...] = diff_ref[...]
+        colorpk_out[...] = colorpk_ref[...]
+        wt_out[...] = wt_ref[...]
+
+        # issue group step+NSLOT-1's DMAs over ITS lane list (strictly
+        # before this group's compute — a full group of landing slack)
+        @pl.when(step + (NSLOT - 1) < nsteps)
+        def _():
+            fstep = step + (NSLOT - 1)
+            fslot = jax.lax.rem(fstep, NSLOT)
+
+            def _fi(j, _):
+                g = _vc_lane(fstep, j)
+                _issue_one(fstep * group + g, g, fslot)
+                return 0
+
+            jax.lax.fori_loop(0, origins_ref[cnt_off + fstep], _fi, 0)
+
+        def _block_body_vc(j, carry):
+            return _block_body(_vc_lane(step, j), carry)
+
+        jax.lax.fori_loop(0, origins_ref[cnt_off + step], _block_body_vc, 0)
+    else:
+        jax.lax.fori_loop(0, group, _block_body, 0)
 
     if defer_wb and (state_hbm or hist_hbm):
         # final-step drain: the last NSLOT steps' deferred write-backs
@@ -1474,6 +1544,44 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         GD = max(1, min(int(getattr(cfg, "pallas_group", GROUP)), NB))
         while NB % GD:
             GD //= 2
+        # visit_compact prep (see the kernel's docstring note): per-group
+        # non-identity lane counts + front-packed lane lists appended to
+        # the scalar-prefetch operand. The packing is ONE stable
+        # multi-operand minor-dim sort on a lane-merged [NB/128, 128]
+        # view (segment-major keys keep each GD-lane group contiguous, so
+        # each group's non-identity lanes land at its front in lane
+        # order) — the splat's cheap-compaction trick; counts come from a
+        # tiny segment one-hot matmul (a [NG, GD] reshape-reduce would be
+        # a narrow-lane relayout cliff).
+        visit_compact = (getattr(cfg, "pallas_visit_compact", False)
+                         and not state_hbm and NB % 128 == 0
+                         and 2 <= GD <= 128 and 128 % GD == 0
+                         and GD % 2 == 0)
+        sp_d = origins
+        vc_kw = {}
+        if visit_compact:
+            nzb = origins.reshape(NB, 3)[:, 2] > 0
+            view = nzb.reshape(-1, 128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, view.shape, 1)
+            seg = lane // GD
+            key = seg * 2 + (1 - view.astype(jnp.int32))
+            _, lanes_s = jax.lax.sort((key, lane % GD), dimension=1,
+                                      num_keys=1, is_stable=True)
+            segs = 128 // GD
+            oh = (jnp.arange(128, dtype=jnp.int32)[:, None] // GD
+                  == jnp.arange(segs, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.float32)
+            counts = (view.astype(jnp.float32) @ oh).astype(
+                jnp.int32).reshape(-1)
+            # SMEM is a hard 1 MB: the dense origins table alone is
+            # NB*3 i32 (768 KB at 512^3), so the lane list rides packed
+            # 2-per-word (lane indices are < GD <= 128; flat pair
+            # (2i, 2i+1) -> low/high 16 bits of word i)
+            lanes_pk = lanes_s[:, 0::2] | (lanes_s[:, 1::2] << 16)
+            sp_d = jnp.concatenate([origins, counts,
+                                    lanes_pk.reshape(-1)])
+            vc_kw = dict(visit_compact=True, cnt_off=origins.shape[0],
+                         lanes_off=origins.shape[0] + NB // GD)
         kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
                        rect_h=rect_h, rect_w=rect_w,
                        color_diff_gate=cfg.color_diff_gate,
@@ -1481,7 +1589,8 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                        lookup=lookup, hist_hbm=True, banded=banded,
                        frame_vmem=frame_vmem, defer_wb=defer_wb,
                        state_hbm=state_hbm, uniform_skip=uniform_skip,
-                       merge_mid=merge_mid, mid_h=mid_h, mid_w=mid_w)
+                       merge_mid=merge_mid, mid_h=mid_h, mid_w=mid_w,
+                       **vc_kw)
 
         if state_hbm:
             state_spec = pl.BlockSpec(memory_space=pl.ANY)
@@ -1539,7 +1648,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
             ],
             input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
             interpret=interpret,
-        )(origins, params, pk1, pk2, b.diff, b.colorpk, b.weight, b.hist)
+        )(sp_d, params, pk1, pk2, b.diff, b.colorpk, b.weight, b.hist)
         miss0 = miss[0, 0]
         over0 = jnp.zeros((), jnp.int32)
     else:

@@ -282,6 +282,39 @@ def test_compact_grid_matches_dense():
                 err_msg=f"compact grp={grp} field {f}")
 
 
+def test_visit_compact_matches_dense():
+    """pallas_visit_compact (per-group compacted non-identity lane lists
+    + whole-group bulk identity commit on the dense streamed grid) must
+    be bit-exact vs the dense visit loop. 64^3 gives NB=128 so the
+    mode's NB % 128 gate actually engages (32^3 would silently fall
+    back); group=8 is an even divisor of 128, and an odd-count group
+    exercises the packed 16-bit lane list's high-half decode."""
+    frames = _frames(3)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    cfg_d = FusionConfig(vol_dim=(64, 64, 64), hist_dtype=jnp.uint16,
+                         pallas_rect=(128, 256), pallas_group=8,
+                         pallas_visit_compact=False)
+    cfg_v = FusionConfig(vol_dim=(64, 64, 64), hist_dtype=jnp.uint16,
+                         pallas_rect=(128, 256), pallas_group=8,
+                         pallas_visit_compact=True)
+    b_d = to_blocked(init_from_first_frame(cfg_d, depth0, K4, md), cfg_d)
+    b_v = to_blocked(init_from_first_frame(cfg_v, depth0, K4, md), cfg_v)
+    E0inv = np.linalg.inv(frames[0][3])
+    for depth, img, mask, E in frames:
+        e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+        args = (jnp.asarray(depth), jnp.asarray(img), jnp.asarray(mask),
+                e2i, jnp.asarray(K4))
+        b_d, m_d = fuse_frame_blocked(b_d, *args, cfg_d)
+        b_v, m_v = fuse_frame_blocked(b_v, *args, cfg_v)
+        assert int(m_d) == int(m_v) == 0
+    assert int(jnp.sum(b_d.weight)) > 0, "fixture must fuse something"
+    for f in ("weight", "hist", "colorpk", "diff"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(b_v, f)), np.asarray(getattr(b_d, f)),
+            err_msg=f"visit_compact field {f}")
+
+
 def test_compact_budget_overflow_counts_misses():
     """Non-identity runs beyond vis_block_budget must land in the miss
     channel as whole blocks (the no-silent-caps contract)."""
