@@ -180,11 +180,24 @@ def bench_north_star(model_pack, n_frames=16, H=480, W=640):
     from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
     from slam_maskrcnn_tpu.fusion import FusionConfig
     from slam_maskrcnn_tpu.fusion.state import make_intrinsic
+    from slam_maskrcnn_tpu.models import MaskRCNN
     from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
         init_blocked_from_first_frame)
     from slam_maskrcnn_tpu.samples.north_star import NorthStar
 
-    model, variables = model_pack
+    ref_model, variables = model_pack
+    # north-star PRODUCTION config: detection slots capped at the fusion
+    # side's max_objects (32) — the reference keeps 100 COCO slots
+    # (mrcnn/config.py DETECTION_MAX_INSTANCES), but the fusion histogram
+    # can only hold 32 ids, and the device label-encode materializes
+    # [D, H, W] paste planes per frame, so D=100 spends ~2/3 of its
+    # label-encode + mask-head work on slots the pipeline cannot use.
+    # Params are D-independent (per-roi heads) — reuse the same weights.
+    # The bench's detect_ms row keeps the reference 100-slot config.
+    class NSConfig(type(ref_model.config)):
+        DETECTION_MAX_INSTANCES = 32
+
+    model = MaskRCNN("inference", NSConfig())
     model.params = variables
     K4 = make_intrinsic(520.9, 521.0, 325.1, 249.7)
     # probe_mode="depth": the live-depth association probe (~1 ms dense

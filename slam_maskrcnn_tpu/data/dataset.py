@@ -178,7 +178,8 @@ def load_image_gt(dataset: Dataset, config, image_id, augment=False,
     original_shape = image.shape
     out = resize_image(
         image, config.IMAGE_MIN_DIM, config.IMAGE_MAX_DIM,
-        config.IMAGE_MIN_SCALE, config.IMAGE_RESIZE_MODE)
+        config.IMAGE_MIN_SCALE, config.IMAGE_RESIZE_MODE,
+        rect_shape=getattr(config, "IMAGE_RECT_SHAPE", None))
     crop = None
     if len(out) == 5:
         image, window, scale, padding, crop = out

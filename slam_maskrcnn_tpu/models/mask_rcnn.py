@@ -222,8 +222,10 @@ class MaskRCNNModule(nn.Module):
 # ---------------------------------------------------------------------------
 
 def resize_image(image, min_dim=None, max_dim=None, min_scale=None,
-                 mode="square"):
-    """= ``utils.resize_image`` (utils.py:392-497), square/pad64 modes."""
+                 mode="square", rect_shape=None):
+    """= ``utils.resize_image`` (utils.py:392-497), square/pad64 modes,
+    plus the TPU-first "rect" mode (fit rect_shape preserving aspect,
+    center-pad — see Config.IMAGE_RESIZE_MODE)."""
     import cv2
 
     h, w = image.shape[:2]
@@ -231,6 +233,22 @@ def resize_image(image, min_dim=None, max_dim=None, min_scale=None,
     scale = 1.0
     if mode == "none":
         return image, window, scale, [(0, 0), (0, 0), (0, 0)]
+    if mode == "rect":
+        mh, mw = rect_shape
+        scale = min(mh / h, mw / w)
+        if min_scale and scale < min_scale:
+            scale = min_scale
+        image = cv2.resize(image, (round(w * scale), round(h * scale)),
+                           interpolation=cv2.INTER_LINEAR)
+        h2, w2 = image.shape[:2]
+        top_pad = (mh - h2) // 2
+        bottom_pad = mh - h2 - top_pad
+        left_pad = (mw - w2) // 2
+        right_pad = mw - w2 - left_pad
+        padding = [(top_pad, bottom_pad), (left_pad, right_pad), (0, 0)]
+        image = np.pad(image, padding, mode="constant")
+        window = (top_pad, left_pad, h2 + top_pad, w2 + left_pad)
+        return image, window, scale, padding
     if min_dim:
         scale = max(1.0, min_dim / min(h, w))
     if min_scale and scale < min_scale:
@@ -403,7 +421,8 @@ class MaskRCNN:
         for img in images:
             m, window, scale, _ = resize_image(
                 img, self.config.IMAGE_MIN_DIM, self.config.IMAGE_MAX_DIM,
-                self.config.IMAGE_MIN_SCALE, self.config.IMAGE_RESIZE_MODE)
+                self.config.IMAGE_MIN_SCALE, self.config.IMAGE_RESIZE_MODE,
+                rect_shape=getattr(self.config, "IMAGE_RECT_SHAPE", None))
             molded.append(m.astype(np.uint8))
             windows.append(window)
         return np.stack(molded), np.stack(windows)

@@ -206,21 +206,28 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     (a, b) = (u, v) over a [W', H'] transposed table — the cheap 8-slack
     alignment then lands on u and the rect shrinks. (H, W) are the stored
     TABLE dims; (img_h, img_w) the true image dims (default: the table's).
-    Clamped so the rect stays inside the table."""
+    Clamped so the rect stays inside the table.
+
+    Layout note (r4e): all per-block math here runs on FLAT [NB] 1-D
+    arrays. The natural [nbx, nby, nbz] shape has a 16-lane minor dim at
+    512^3 — the narrow-lane layout cliff (CLAUDE.md) — and this function
+    evaluates ~120 elementwise ops over it per frame."""
     nbx, nby, nbz = b.nbx, b.nby, b.nbz
-    bx = jnp.arange(nbx, dtype=jnp.float32)[:, None, None]
-    by = jnp.arange(nby, dtype=jnp.float32)[None, :, None]
-    bz = jnp.arange(nbz, dtype=jnp.float32)[None, None, :]
+    NB = nbx * nby * nbz
+    idx = jnp.arange(NB, dtype=jnp.int32)
+    bx = (idx // (nby * nbz)).astype(jnp.float32)
+    by = ((idx // nbz) % nby).astype(jnp.float32)
+    bz = (idx % nbz).astype(jnp.float32)
     E = e2i.astype(jnp.float32)
     Km = intrinsic.astype(jnp.float32)
-    umin = jnp.full((nbx, nby, nbz), np.inf, jnp.float32)
-    vmin = jnp.full((nbx, nby, nbz), np.inf, jnp.float32)
-    umax = jnp.full((nbx, nby, nbz), -np.inf, jnp.float32)
-    vmax = jnp.full((nbx, nby, nbz), -np.inf, jnp.float32)
-    any_front = jnp.zeros((nbx, nby, nbz), bool)
-    all_front = jnp.ones((nbx, nby, nbz), bool)
-    zmin = jnp.full((nbx, nby, nbz), np.inf, jnp.float32)
-    zmax = jnp.full((nbx, nby, nbz), -np.inf, jnp.float32)
+    umin = jnp.full((NB,), np.inf, jnp.float32)
+    vmin = jnp.full((NB,), np.inf, jnp.float32)
+    umax = jnp.full((NB,), -np.inf, jnp.float32)
+    vmax = jnp.full((NB,), -np.inf, jnp.float32)
+    any_front = jnp.zeros((NB,), bool)
+    all_front = jnp.ones((NB,), bool)
+    zmin = jnp.full((NB,), np.inf, jnp.float32)
+    zmax = jnp.full((NB,), -np.inf, jnp.float32)
     for cx in (0.0, BX):
         for cy in (0.0, BY):
             for cz in (0.0, BZ):
@@ -323,22 +330,22 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
         fin = (jnp.isfinite(umin) & jnp.isfinite(vmin)
                & jnp.isfinite(umax) & jnp.isfinite(vmax))
         u0c = jnp.clip(jnp.floor(jnp.where(fin, umin, 0.0) / T),
-                       0, Wg - 1).astype(jnp.int32).reshape(-1)
+                       0, Wg - 1).astype(jnp.int32)
         u1c = jnp.clip(jnp.floor(jnp.where(fin, umax, 0.0) / T),
-                       0, Wg - 1).astype(jnp.int32).reshape(-1)
+                       0, Wg - 1).astype(jnp.int32)
         v0c = jnp.clip(jnp.floor(jnp.where(fin, vmin, 0.0) / T),
-                       0, Hg - 1).astype(jnp.int32).reshape(-1)
+                       0, Hg - 1).astype(jnp.int32)
         v1c = jnp.clip(jnp.floor(jnp.where(fin, vmax, 0.0) / T),
-                       0, Hg - 1).astype(jnp.int32).reshape(-1)
-        gi = jnp.arange(Hg, dtype=jnp.int32)[None, :, None]
-        gj = jnp.arange(Wg, dtype=jnp.int32)[None, None, :]
-        m = ((gi >= v0c[:, None, None]) & (gi <= v1c[:, None, None])
-             & (gj >= u0c[:, None, None]) & (gj <= u1c[:, None, None]))
-        sh = (nbx, nby, nbz)
-        d_min = jnp.min(jnp.where(m, dmin_p[None], 1e9),
-                        axis=(1, 2)).reshape(sh)
-        d_max = jnp.max(jnp.where(m, dmax_p[None], 0.0),
-                        axis=(1, 2)).reshape(sh)
+                       0, Hg - 1).astype(jnp.int32)
+        # lane-merged [NB, Hg*Wg] pool mask (a [NB, Hg, Wg] view has a
+        # ~20-lane minor dim — the same layout cliff)
+        gg = jnp.arange(Hg * Wg, dtype=jnp.int32)[None, :]
+        gi = gg // Wg
+        gj = gg % Wg
+        m = ((gi >= v0c[:, None]) & (gi <= v1c[:, None])
+             & (gj >= u0c[:, None]) & (gj <= u1c[:, None]))
+        d_min = jnp.min(jnp.where(m, dmin_p.reshape(1, -1), 1e9), axis=1)
+        d_max = jnp.max(jnp.where(m, dmax_p.reshape(1, -1), 0.0), axis=1)
         zlo, zhi = zmin - 1e-4, zmax + 1e-4
         bbox_in = (fin & (umin >= 0) & (umax <= img_w - 1)
                    & (vmin >= 0) & (vmax <= img_h - 1))

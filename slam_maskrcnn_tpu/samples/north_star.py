@@ -49,17 +49,25 @@ from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import fuse_frame_blocked_impl
 
 
 def device_mold_geometry(model_config, H: int, W: int):
-    """Static square-mode molding geometry for a fixed sensor size
-    (mirrors ``resize_image``, utils.py:392-497, and LivePipeline's
-    device molding). Returns (rh, rw, top, left, mh, mw, nwin [1,4])."""
-    assert model_config.IMAGE_RESIZE_MODE == "square", \
-        "device molding implements the square resize mode"
-    mh = mw = int(model_config.IMAGE_MAX_DIM)
-    scale = max(1.0, model_config.IMAGE_MIN_DIM / min(H, W))
-    if model_config.IMAGE_MIN_SCALE:
-        scale = max(scale, model_config.IMAGE_MIN_SCALE)
-    if round(max(H, W) * scale) > model_config.IMAGE_MAX_DIM:
-        scale = model_config.IMAGE_MAX_DIM / max(H, W)
+    """Static molding geometry for a fixed sensor size (mirrors
+    ``resize_image``'s square and rect modes, utils.py:392-497 and
+    models/mask_rcnn.py resize_image, and LivePipeline's device molding).
+    Returns (rh, rw, top, left, mh, mw, nwin [1,4])."""
+    mode = model_config.IMAGE_RESIZE_MODE
+    assert mode in ("square", "rect"), \
+        "device molding implements the square and rect resize modes"
+    if mode == "rect":
+        mh, mw = (int(s) for s in model_config.IMAGE_RECT_SHAPE)
+        scale = min(mh / H, mw / W)
+        if model_config.IMAGE_MIN_SCALE:
+            scale = max(scale, model_config.IMAGE_MIN_SCALE)
+    else:
+        mh = mw = int(model_config.IMAGE_MAX_DIM)
+        scale = max(1.0, model_config.IMAGE_MIN_DIM / min(H, W))
+        if model_config.IMAGE_MIN_SCALE:
+            scale = max(scale, model_config.IMAGE_MIN_SCALE)
+        if round(max(H, W) * scale) > model_config.IMAGE_MAX_DIM:
+            scale = model_config.IMAGE_MAX_DIM / max(H, W)
     rh, rw = round(H * scale), round(W * scale)
     top, left = (mh - rh) // 2, (mw - rw) // 2
     win_px = np.array([top, left, top + rh, left + rw], np.float32)
