@@ -387,13 +387,16 @@ def _block_origins(b: BlockedTSDFState, e2i, intrinsic, H, W,
     vis_code = jnp.where(free, 2, vis.astype(jnp.int32))
     if merge_mid and rect_mid is not None:
         vis_code = jnp.where(mid_mask, 3, vis_code)
-    # flat [NB*3] (a0, b0, vis): a 2D SMEM operand would be lane-padded to
-    # 128 wide and blow the 1MB SMEM budget
-    origins = jnp.stack([a0.reshape(-1), b0.reshape(-1),
-                         vis_code.reshape(-1)],
-                        axis=-1).reshape(-1)
-    return (origins, flag_mid.reshape(-1), flag_full.reshape(-1),
-            origins_mid)
+    # ONE packed i32 per block: code in bits 0-1, a0/8 in 2-13, b0/128 in
+    # 14-19 (a0 is 8-aligned, b0 128-aligned by construction). SMEM is a
+    # hard 1 MB and the old 3-word stride cost 768 KB at 512^3 — packed,
+    # the table is 256 KB, leaving room for a second frame's table (the
+    # pair mode) and the visit_compact lane lists. Static-dim bounds
+    # guarantee the fields fit (tables are <= 4096*8 rows, <= 64*128
+    # lanes wide).
+    assert H // 8 < 4096 and W // 128 < 64, (H, W)
+    origins = (vis_code | ((a0 >> 3) << 2) | ((b0 >> 7) << 14))
+    return origins, flag_mid, flag_full, origins_mid
 
 
 def _rect_lookup_gather(rect12_ref, vl, ul, ok,
@@ -601,10 +604,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     # nothing. (An XLA-side gather/scatter compaction was tried first and
     # LOST: 6 x 16k 8 KB-row gathers/scatters are latency-bound at
     # ~0.1 us/row — 16 ms of pure XLA prep.)
-    # origins stride: pass A packs (v0, u0, vis) and derives the block's
-    # (bx, by, bz) arithmetically from its position; pass B (full-image
-    # rect over a COMPACTED near-block subset) packs (v0, u0, vis, bx, by,
-    # bz) because a compacted index says nothing about the coordinates
+    # origins encoding: pass A (coords == "arith") packs (v0, u0, vis)
+    # into ONE i32 per block — code bits 0-1, v0/8 bits 2-13, u0/128
+    # bits 14-19 (see _block_origins; SMEM is a hard 1 MB) — and derives
+    # the block's (bx, by, bz) arithmetically from its position; pass B
+    # (full-image rect over a COMPACTED near-block subset) keeps the
+    # unpacked 6-stride (v0, u0, vis, bx, by, bz) because a compacted
+    # index says nothing about the coordinates
     # visit_compact (dense streamed grid only): the scalar-prefetch
     # operand additionally carries per-group non-identity lane COUNTS
     # (at cnt_off) and front-packed lane LISTS (at lanes_off, `group`
@@ -618,7 +624,14 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     # PERFORMANCE.md round 3b) collapse to the non-identity count.
     # Bit-exact: visited lanes run the identical update bodies and
     # overwrite their lane of the bulk copy.
-    ostride = 3 if coords == "arith" else 6
+    def _origin(blk):
+        """(a0, b0, code) of a block from the prefetch table."""
+        if coords == "arith":
+            w = origins_ref[blk]
+            return (((w >> 2) & 0xFFF) * 8, ((w >> 14) & 0x3F) * 128,
+                    w & 3)
+        return (origins_ref[blk * 6], origins_ref[blk * 6 + 1],
+                origins_ref[blk * 6 + 2])
 
     def _vc_lane(stepi, j):
         # lane j of grid step stepi from the packed 16-bit lane list
@@ -661,9 +674,9 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
         # (bx, by, bz) in a compacted pass (coords == "smem")
         if coords == "arith":
             return blk
-        return ((origins_ref[blk * ostride + 3] * nby
-                 + origins_ref[blk * ostride + 4]) * nbz
-                + origins_ref[blk * ostride + 5])
+        return ((origins_ref[blk * 6 + 3] * nby
+                 + origins_ref[blk * 6 + 4]) * nbz
+                + origins_ref[blk * 6 + 5])
 
     def _drain_writes(gslot, g, kinds):
         """Wait any deferred write-back still in flight on (gslot, g)
@@ -698,7 +711,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
         """Start the DMAs block `blk` will need (into slot gslot, lane g).
         With defer_wb, first drain any deferred write-back still using a
         buffer/semaphore this block's reads are about to reuse."""
-        code = origins_ref[blk * ostride + 2]
+        v0u, u0u, code = _origin(blk)
 
         if state_hbm:
             @pl.when(code >= 1)   # free + full both need diff/weight
@@ -717,8 +730,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
         def _():
             # code 3 (merged mid tier) exists only in frame_vmem mode:
             # no rect DMA below fires for it, but the hist prefetch must
-            v0 = pl.multiple_of(origins_ref[blk * ostride], 8)
-            u0 = pl.multiple_of(origins_ref[blk * ostride + 1], 128)
+            v0 = pl.multiple_of(v0u, 8)
+            u0 = pl.multiple_of(u0u, 128)
             if lookup == "gather_nodma" or frame_vmem:
                 pass  # no per-block rect DMAs in these modes
             elif banded:
@@ -912,8 +925,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 for _k, cp in cps:
                     cp.wait()
 
+        oa0u, ob0u, code_b = _origin(blk)
+
         if not state_hbm and not visit_compact:
-            @pl.when(origins_ref[blk * ostride + 2] == 0)
+            @pl.when(code_b == 0)
             def _():
                 # block invisible this frame (or pre-classified behind):
                 # every voxel is invalid, the update is the identity —
@@ -925,7 +940,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 if not hist_hbm:   # in-place HBM alias keeps content
                     hist_out[g] = hist_ref[g]
 
-        @pl.when(origins_ref[blk * ostride + 2] == 2)
+        @pl.when(code_b == 2)
         def _():
             # pre-classified FREE (XLA pooled-depth bounds): every voxel
             # valid with dn == 1 — closed-form update, no rect or hist
@@ -946,9 +961,9 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 by = jax.lax.rem(blk // nbz, nby)
                 bx = blk // (nbz * nby)
             else:
-                bx = origins_ref[blk * ostride + 3]
-                by = origins_ref[blk * ostride + 4]
-                bz = origins_ref[blk * ostride + 5]
+                bx = origins_ref[blk * 6 + 3]
+                by = origins_ref[blk * 6 + 4]
+                bz = origins_ref[blk * 6 + 5]
 
             gx = (bx * BX).astype(jnp.float32) + dxc
             gy = (by * BY).astype(jnp.float32) + dyc
@@ -964,8 +979,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
 
             # (a, b) = rect-relative (sublane, lane) coords: (v, u) for the
             # normal table, (u, v) for the transposed "gather_t" table
-            oa0 = origins_ref[blk * ostride]
-            ob0 = origins_ref[blk * ostride + 1]
+            oa0 = oa0u
+            ob0 = ob0u
             if lookup == "gather_t":
                 al, bl = u - oa0, v - ob0
             else:
@@ -1298,12 +1313,12 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 _update_body(None, jnp.int32(0), jnp.int32(0),
                              vrh, vrw)
 
-        @pl.when(origins_ref[blk * ostride + 2] == 1)
+        @pl.when(code_b == 1)
         def _():
             _vis(rect_h, rect_w, True)
 
         if merge_mid:
-            @pl.when(origins_ref[blk * ostride + 2] == 3)
+            @pl.when(code_b == 3)
             def _():
                 _vis(mid_h, mid_w, False)
         return 0
@@ -1467,8 +1482,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         CG = int(getattr(cfg, "pallas_compact_grp", 8))
         assert NB % CG == 0, f"NB {NB} not divisible by compact grp {CG}"
         NBR = NB // CG
-        o3c = origins.reshape(NB, 3)
-        flags_b = o3c[:, 2] > 0
+        flags_b = (origins & 3) > 0
         flags_r = flags_b.reshape(NBR, CG).any(axis=1)
         n_runs = flags_r.sum()
         BV = min(getattr(cfg, "vis_block_budget", 16384), NB)
@@ -1567,7 +1581,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         sp_d = origins
         vc_kw = {}
         if visit_compact:
-            nzb = origins.reshape(NB, 3)[:, 2] > 0
+            nzb = (origins & 3) > 0
             view = nzb.reshape(-1, 128)
             lane = jax.lax.broadcasted_iota(jnp.int32, view.shape, 1)
             seg = lane // GD
@@ -1814,10 +1828,13 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     # pass group sizes (16, 8 and 2).
     if sparse:
         BV = min(getattr(cfg, "vis_block_budget", 12288), NB)
-        o3 = origins.reshape(NB, 3)
+        codes_a = origins & 3
+        origs_a = jnp.stack([((origins >> 2) & 0xFFF) * 8,
+                             ((origins >> 14) & 0x3F) * 128],
+                            axis=-1).reshape(-1)
         arrays, miss0, over0 = compacted_pass(
-            arrays, o3[:, 2] > 0, o3[:, :2].reshape(-1),
-            (rect_h, rect_w), BV, GROUP, codes=o3[:, 2], hist_hbm=True,
+            arrays, codes_a > 0, origs_a,
+            (rect_h, rect_w), BV, GROUP, codes=codes_a, hist_hbm=True,
             st_hbm=cfg.pallas_state_hbm, fv=frame_vmem, band=banded,
             merge=merge_mid)
     if merge_mid:

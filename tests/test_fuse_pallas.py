@@ -358,7 +358,7 @@ def test_merged_mid_tier_matches_separate_pass():
     origins, _fm, _ff, _om = _block_origins(
         b0, e2i0, jnp.asarray(K4), 128, 256, 16, 128, img_h=H, img_w=W,
         rect_mid=(128, 256), merge_mid=True)
-    codes = np.asarray(origins).reshape(-1, 3)[:, 2]
+    codes = np.asarray(origins) & 3  # packed origins: code in bits 0-1
     assert (codes == 3).sum() > 0, "fixture exercises no mid-tier blocks"
 
     xla = init_from_first_frame(cfg_m, depth0, K4, md)
@@ -531,8 +531,7 @@ def test_tight_tier_fast_path_exercised_and_exact():
         b_fv, e2i, Ktj, max(Ht, rect_h), max(Wt, rect_w), rect_h, rect_w,
         img_h=Ht, img_w=Wt, rect_mid=cfg_fv.pallas_rect_mid,
         depth=jnp.asarray(d), depth_scale=cfg_fv.depth_scale, mu=b_fv.mu)
-    o3 = np.asarray(origins).reshape(-1, 3)
-    code1 = o3[:, 2] == 1
+    code1 = (np.asarray(origins) & 3) == 1  # packed: code in bits 0-1
     assert code1.sum() > 20, "fixture must have visible blocks"
     nbx, nby, nbz = b_fv.nbx, b_fv.nby, b_fv.nbz
     En = np.asarray(e2i, np.float64)

@@ -485,6 +485,34 @@ def main():
             aps_t.append(ap_t)
         map_cpu = round(float(np.mean(aps_c)), 4)
         map_tpu = round(float(np.mean(aps_t)), 4)
+
+        # rect-molding quality row: the north-star production config
+        # molds with IMAGE_RESIZE_MODE="rect" (models/config.py) — fewer
+        # dead padding rows, a different anchor grid. Same trained
+        # weights (heads are resolution-independent); quality must stay
+        # within a few mAP points of the square mold.
+        from slam_maskrcnn_tpu.models import MaskRCNN
+        from slam_maskrcnn_tpu.samples.train_shapes import (
+            InferenceShapesConfig)
+
+        class RectShapes(InferenceShapesConfig):
+            IMAGE_RESIZE_MODE = "rect"
+            IMAGE_RECT_SHAPE = (128, 192)
+
+        model_r = MaskRCNN("inference", RectShapes())
+        model_r.init_params(0)
+        model_r.load_weights(TRAINED, by_name=True)
+        imgs_r, _ = build_detect_scenes()
+        aps_r = []
+        for img, (gb, gc, gm) in zip(imgs_r, gts):
+            r = model_r.detect([img])[0]
+            ap_r, _, _, _ = compute_ap(
+                gb, gc, gm, r["rois"].astype(np.float32),
+                r["class_ids"], r["scores"], np.asarray(r["masks"]))
+            aps_r.append(ap_r)
+        map_rect = round(float(np.mean(aps_r)), 4)
+    else:
+        map_rect = None
     mi = np.asarray(mask_ious) if mask_ious else np.zeros((0,))
     report["detect"] = {
         "n_images": n_images,
@@ -495,6 +523,7 @@ def main():
                                       4),
         "map50_vs_gt_cpu": map_cpu,
         "map50_vs_gt_tpu": map_tpu,
+        "map50_vs_gt_tpu_rect": map_rect,
         "score_mad_max": round(max(mads_all) if mads_all else 0.0, 5),
         "unmatched_cpu_scores": [round(s, 3)
                                  for s in sorted(unmatched_scores,
