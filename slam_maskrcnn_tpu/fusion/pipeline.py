@@ -232,6 +232,97 @@ def fusion_step_blocked_impl(state, depth, color, mask, extrinsic2init,
     return state, mask_g, misses + overflow
 
 
+def fusion_step_pair_blocked_impl(state, d1, c1, m1, e1, d2, c2, m2, e2,
+                                  intrinsic, cfg: FusionConfig):
+    """Two-frame fusion step (the paired-kernel throughput form).
+
+    BOTH frames' associations probe the PRE-pair histogram — frame 2's
+    votes are one frame stale vs the reference's strictly sequential
+    probe-after-every-fuse (``src/SfM_CUDA/kernel.cpp:76-99``). The
+    per-mask vote aggregates span thousands of pixels, so one frame of
+    staleness flips association outcomes only while an object's
+    evidence is still thin; num_objs chains through frame 1 so fresh
+    ids never collide. Given the two relabeled masks, the paired kernel
+    (``ops/pallas/fuse_kernel.py fuse_frames2_blocked_impl``) is
+    BIT-EXACT vs two sequential single-frame kernels — the pairing
+    approximation lives entirely in this association ordering
+    (tests/test_fuse_pair.py quantifies both statements).
+
+    Callers should warm the volume with >= 1 sequential frame first: at
+    n_obs == 0 frame 2 would associate against an empty histogram and
+    fresh-id every mask a second time.
+
+    Returns (new_state, (mask_g1, mask_g2), misses)."""
+    from slam_maskrcnn_tpu.fusion.splat import depth_probe, splat_probe
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+        fuse_frames2_blocked_impl)
+
+    H, W = d1.shape
+    s = getattr(cfg, "probe_stride", 1)
+
+    def probe(st, depth, e2i):
+        if cfg.probe_mode == "depth":
+            return depth_probe(st, depth, e2i, intrinsic, H, W, cfg)
+        return splat_probe(st, e2i, intrinsic, H, W, cfg)
+
+    def with_assoc1(operand):
+        st, msk = operand
+        probs, bm, ovf, _clip = probe(st, d1, e1)
+        if cfg.probe_mode == "depth":
+            msk = msk[::s, ::s]
+        rl, no = associate_instances(probs, bm, msk, st.n_obs,
+                                     st.num_objs, cfg)
+        return rl, no, ovf
+
+    def first_fuse1(operand):
+        st, msk = operand
+        identity = jnp.arange(cfg.max_objects, dtype=jnp.int32)
+        return (identity, jnp.max(msk).astype(jnp.int32) + 1,
+                jnp.zeros((), jnp.int32))
+
+    relabel1, num1, ovf1 = jax.lax.cond(state.n_obs > 0, with_assoc1,
+                                        first_fuse1, (state, m1))
+    mask_g1 = apply_relabel(m1, relabel1)
+
+    # frame 2: same (pre-pair) histogram, num_objs chained through 1
+    probs2, bm2, ovf2, _clip2 = probe(state, d2, e2)
+    m2s = m2[::s, ::s] if cfg.probe_mode == "depth" else m2
+    relabel2, num2 = associate_instances(probs2, bm2, m2s,
+                                         state.n_obs + 1, num1, cfg)
+    mask_g2 = apply_relabel(m2, relabel2)
+
+    state = state.replace(num_objs=num2)
+    state, misses = fuse_frames2_blocked_impl(
+        state, d1, c1, mask_g1, e1, d2, c2, mask_g2, e2, intrinsic, cfg)
+    return state, (mask_g1, mask_g2), misses + ovf1 + ovf2
+
+
+def fuse_pair_sequence_blocked(state, depths, colors, masks,
+                               extrinsics2init, intrinsic,
+                               cfg: FusionConfig):
+    """Paired analog of :func:`fuse_sequence_blocked`: one scan step per
+    TWO frames (N must be even). Warm the state with >= 1 sequential
+    frame first (see fusion_step_pair_blocked_impl). Returns
+    (final_state, relabeled_masks [N, H, W], misses [N//2])."""
+    N = depths.shape[0]
+    assert N % 2 == 0, f"paired scan needs an even frame count, got {N}"
+
+    def pairify(x):
+        return x.reshape((N // 2, 2) + x.shape[1:])
+
+    def step(st, frame):
+        d, c, m, e = frame
+        st, (g1, g2), miss = fusion_step_pair_blocked_impl(
+            st, d[0], c[0], m[0], e[0], d[1], c[1], m[1], e[1],
+            intrinsic, cfg)
+        return st, (jnp.stack([g1, g2]), miss)
+
+    state, (masks_g, misses) = jax.lax.scan(
+        step, state, (pairify(depths), pairify(colors), pairify(masks),
+                      pairify(extrinsics2init)))
+    return (state, masks_g.reshape((N,) + masks_g.shape[2:]), misses)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def fuse_sequence(state: TSDFState, depths: jax.Array, colors: jax.Array,
                   masks: jax.Array, extrinsics2init: jax.Array,

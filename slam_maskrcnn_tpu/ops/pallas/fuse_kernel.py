@@ -567,7 +567,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  compact: bool = False, ids_off: int = 0,
                  merge_mid: bool = False, mid_h: int = 0, mid_w: int = 0,
                  visit_compact: bool = False, cnt_off: int = 0,
-                 lanes_off: int = 0):
+                 lanes_off: int = 0, pair: bool = False,
+                 orig2_off: int = 0, tab2_off: int = 0):
     # merge_mid (frame_vmem only): blocks whose footprint exceeds the
     # pass-A rect but fits (mid_h, mid_w) carry vis code 3 with MID
     # origins in the same table slots, and fuse here through a
@@ -624,6 +625,17 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     # PERFORMANCE.md round 3b) collapse to the non-identity count.
     # Bit-exact: visited lanes run the identical update bodies and
     # overwrite their lane of the bulk copy.
+    # pair (frame_vmem + hist_hbm only): ONE dense pass fuses TWO frames.
+    # Frame 2's packed origins sit at origins_ref[orig2_off + blk], its
+    # camera params at params_ref[32..], its banded table at rect12 rows
+    # [tab2_off, 2*tab2_off). Per block, frame 1's update runs first
+    # (reading the streamed input block, committing to the output block),
+    # then frame 2's runs reading the OUTPUT block — per-voxel
+    # composition is exactly the sequential two-kernel execution, so the
+    # result is bit-identical to two single-frame launches with the same
+    # relabeled masks (tests/test_fuse_pair.py). The histogram DMAs once
+    # per pair: prefetched when EITHER frame is visible, updated in the
+    # staging slot by each frame, written back once after both.
     def _origin(blk):
         """(a0, b0, code) of a block from the prefetch table."""
         if coords == "arith":
@@ -632,6 +644,11 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                     w & 3)
         return (origins_ref[blk * 6], origins_ref[blk * 6 + 1],
                 origins_ref[blk * 6 + 2])
+
+    def _origin2(blk):
+        """Frame 2's (a0, b0, code) (pair mode, always packed)."""
+        w = origins_ref[orig2_off + blk]
+        return (((w >> 2) & 0xFFF) * 8, ((w >> 14) & 0x3F) * 128, w & 3)
 
     def _vc_lane(stepi, j):
         # lane j of grid step stepi from the packed 16-bit lane list
@@ -651,13 +668,17 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
     nsteps = pl.num_programs(0)
     slot = jax.lax.rem(step, NSLOT)
 
-    ax = [params_ref[i] for i in range(3)]        # E[:,0] * voxel.x
-    ay = [params_ref[3 + i] for i in range(3)]    # E[:,1] * voxel.y
-    az = [params_ref[6 + i] for i in range(3)]    # E[:,2] * voxel.z
-    b0 = [params_ref[9 + i] for i in range(3)]    # E @ [vol_start, 1]
-    fx, fy, cx, cy = (params_ref[12], params_ref[13], params_ref[14],
-                      params_ref[15])
-    mu = params_ref[16]
+    def _cam_params(p_off: int):
+        """Per-frame packed camera scalars (frame 2 of a pair at +32)."""
+        ax = [params_ref[p_off + i] for i in range(3)]   # E[:,0] * voxel.x
+        ay = [params_ref[p_off + 3 + i] for i in range(3)]
+        az = [params_ref[p_off + 6 + i] for i in range(3)]
+        b0 = [params_ref[p_off + 9 + i] for i in range(3)]
+        fxy = (params_ref[p_off + 12], params_ref[p_off + 13],
+               params_ref[p_off + 14], params_ref[p_off + 15])
+        return ax, ay, az, b0, fxy, params_ref[p_off + 16]
+
+    ax, ay, az, b0, (fx, fy, cx, cy), mu = _cam_params(0)
 
     # Both per-group loops are lax.fori_loop with dynamic ref indexing,
     # NOT python unrolls: a 16x unrolled body produced ~1 MB of MLIR and
@@ -712,6 +733,21 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
         With defer_wb, first drain any deferred write-back still using a
         buffer/semaphore this block's reads are about to reuse."""
         v0u, u0u, code = _origin(blk)
+        if pair:
+            # pair mode (frame_vmem + hist_hbm): the only per-block DMA
+            # is the hist prefetch — started once when EITHER frame is
+            # visible; both frames update the staging slot in place
+            _, _, code2 = _origin2(blk)
+
+            @pl.when((code == 1) | (code == 3)
+                     | (code2 == 1) | (code2 == 3))
+            def _():
+                if defer_wb:
+                    _drain_writes(gslot, g, (3,))
+                pltpu.make_async_copy(hist_ref.at[blk],
+                                      hist_buf.at[gslot, g],
+                                      hsem.at[gslot, g]).start()
+            return
 
         if state_hbm:
             @pl.when(code >= 1)   # free + full both need diff/weight
@@ -863,464 +899,525 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                     _issue_one(blk + (NSLOT - 1) * group, g,
                                jax.lax.rem(step + (NSLOT - 1), NSLOT))
 
-        # state accessors: VMEM staging slots in state_hbm mode (filled by
-        # the prefetch DMAs), BlockSpec-streamed blocks otherwise
-        def d_in():
-            return dbuf[slot, g] if state_hbm else diff_ref[g]
+        def _run_frame(oa0u, ob0u, code_b, p_off: int,
+                       t_off: int, first: bool):
+            """All per-frame branches for one block: identity commit
+            (frame 1 only -- the outputs already hold frame 1's result
+            when frame 2 runs), free closed-form, rect/mid lookup.
+            `first` selects the state source (streamed input vs the
+            output block frame 1 committed); p_off/t_off select the
+            frame's camera params and banded-table rows."""
+            ax, ay, az, b0, (fx, fy, cx, cy), mu = _cam_params(p_off)
+            # state accessors: VMEM staging slots in state_hbm mode (filled by
+            # the prefetch DMAs), BlockSpec-streamed blocks otherwise. A
+            # pair's SECOND frame reads the OUTPUT block — frame 1 commits
+            # every code path (identity included), so the out refs hold its
+            # result and the composition is the sequential two-launch one.
+            def d_in():
+                if state_hbm:
+                    return dbuf[slot, g]
+                return diff_ref[g] if first else diff_out[g]
 
-        def c_in():
-            return cbuf[slot, g] if state_hbm else colorpk_ref[g]
+            def c_in():
+                if state_hbm:
+                    return cbuf[slot, g]
+                return colorpk_ref[g] if first else colorpk_out[g]
 
-        def w_in():
-            return wbuf[slot, g] if state_hbm else wt_ref[g]
+            def w_in():
+                if state_hbm:
+                    return wbuf[slot, g]
+                return wt_ref[g] if first else wt_out[g]
 
-        def _wait_state(with_cpk):
-            # semaphores must be consumed exactly once per started DMA —
-            # callers wait for everything their code class started, even
-            # values a sub-branch ends up not using
-            pltpu.make_async_copy(diff_ref.at[hid], dbuf.at[slot, g],
-                                  ssem.at[0, slot, g]).wait()
-            pltpu.make_async_copy(wt_ref.at[hid], wbuf.at[slot, g],
-                                  ssem.at[2, slot, g]).wait()
-            if with_cpk:
-                pltpu.make_async_copy(colorpk_ref.at[hid],
-                                      cbuf.at[slot, g],
-                                      ssem.at[1, slot, g]).wait()
+            def _wait_state(with_cpk):
+                # semaphores must be consumed exactly once per started DMA —
+                # callers wait for everything their code class started, even
+                # values a sub-branch ends up not using
+                pltpu.make_async_copy(diff_ref.at[hid], dbuf.at[slot, g],
+                                      ssem.at[0, slot, g]).wait()
+                pltpu.make_async_copy(wt_ref.at[hid], wbuf.at[slot, g],
+                                      ssem.at[2, slot, g]).wait()
+                if with_cpk:
+                    pltpu.make_async_copy(colorpk_ref.at[hid],
+                                          cbuf.at[slot, g],
+                                          ssem.at[1, slot, g]).wait()
 
-        def commit(dv=None, cv=None, wv=None):
-            """Write back updated tiles. None = unchanged: streamed mode
-            passes the input through (every out block must be written);
-            state_hbm mode writes NOTHING (the HBM alias keeps content).
-            With defer_wb the waits move to the slot's next reuse
-            (~16 blocks of compute away) — the DMA latency hides instead
-            of serializing into the compute path; without it, start all
-            then wait all (the copies at least overlap each other)."""
-            if not state_hbm:
-                diff_out[g] = d_in() if dv is None else dv
-                colorpk_out[g] = c_in() if cv is None else cv
-                wt_out[g] = w_in() if wv is None else wv
-                return
-            cps = []
-            if dv is not None:
-                dbuf[slot, g] = dv
-                cps.append((0, pltpu.make_async_copy(
-                    dbuf.at[slot, g], diff_out.at[hid],
-                    ssem.at[0, slot, g])))
-            if cv is not None:
-                cbuf[slot, g] = cv
-                cps.append((1, pltpu.make_async_copy(
-                    cbuf.at[slot, g], colorpk_out.at[hid],
-                    ssem.at[1, slot, g])))
-            if wv is not None:
-                wbuf[slot, g] = wv
-                cps.append((2, pltpu.make_async_copy(
-                    wbuf.at[slot, g], wt_out.at[hid],
-                    ssem.at[2, slot, g])))
-            for _k, cp in cps:
-                cp.start()
-            if defer_wb:
-                for k, _cp in cps:
-                    wfl[(k * NSLOT + slot) * group + g] = 1
-            else:
+            def commit(dv=None, cv=None, wv=None):
+                """Write back updated tiles. None = unchanged: streamed mode
+                passes the input through (every out block must be written);
+                state_hbm mode writes NOTHING (the HBM alias keeps content).
+                With defer_wb the waits move to the slot's next reuse
+                (~16 blocks of compute away) — the DMA latency hides instead
+                of serializing into the compute path; without it, start all
+                then wait all (the copies at least overlap each other)."""
+                if not state_hbm:
+                    diff_out[g] = d_in() if dv is None else dv
+                    colorpk_out[g] = c_in() if cv is None else cv
+                    wt_out[g] = w_in() if wv is None else wv
+                    return
+                cps = []
+                if dv is not None:
+                    dbuf[slot, g] = dv
+                    cps.append((0, pltpu.make_async_copy(
+                        dbuf.at[slot, g], diff_out.at[hid],
+                        ssem.at[0, slot, g])))
+                if cv is not None:
+                    cbuf[slot, g] = cv
+                    cps.append((1, pltpu.make_async_copy(
+                        cbuf.at[slot, g], colorpk_out.at[hid],
+                        ssem.at[1, slot, g])))
+                if wv is not None:
+                    wbuf[slot, g] = wv
+                    cps.append((2, pltpu.make_async_copy(
+                        wbuf.at[slot, g], wt_out.at[hid],
+                        ssem.at[2, slot, g])))
                 for _k, cp in cps:
-                    cp.wait()
+                    cp.start()
+                if defer_wb:
+                    for k, _cp in cps:
+                        wfl[(k * NSLOT + slot) * group + g] = 1
+                else:
+                    for _k, cp in cps:
+                        cp.wait()
 
-        oa0u, ob0u, code_b = _origin(blk)
+            if first and not state_hbm and not visit_compact:
+                @pl.when(code_b == 0)
+                def _():
+                    # block invisible this frame (or pre-classified behind):
+                    # every voxel is invalid, the update is the identity —
+                    # skip DMA/MXU entirely (in state_hbm mode the branch
+                    # doesn't exist at all: the HBM alias keeps content; in
+                    # visit_compact mode identity blocks are never visited —
+                    # the whole-group bulk copy commits them)
+                    commit()
+                    if not hist_hbm:   # in-place HBM alias keeps content
+                        hist_out[g] = hist_ref[g]
 
-        if not state_hbm and not visit_compact:
-            @pl.when(code_b == 0)
+            @pl.when(code_b == 2)
             def _():
-                # block invisible this frame (or pre-classified behind):
-                # every voxel is invalid, the update is the identity —
-                # skip DMA/MXU entirely (in state_hbm mode the branch
-                # doesn't exist at all: the HBM alias keeps content; in
-                # visit_compact mode identity blocks are never visited —
-                # the whole-group bulk copy commits them)
-                commit()
-                if not hist_hbm:   # in-place HBM alias keeps content
+                # pre-classified FREE (XLA pooled-depth bounds): every voxel
+                # valid with dn == 1 — closed-form update, no rect or hist
+                # DMA ever started for this block
+                if state_hbm:
+                    _wait_state(with_cpk=False)
+                wt = w_in().astype(jnp.float32)
+                commit(dv=(d_in() * wt + 1.0) / (wt + 1.0), wv=w_in() + 1)
+                if not hist_hbm:
                     hist_out[g] = hist_ref[g]
 
-        @pl.when(code_b == 2)
-        def _():
-            # pre-classified FREE (XLA pooled-depth bounds): every voxel
-            # valid with dn == 1 — closed-form update, no rect or hist
-            # DMA ever started for this block
-            if state_hbm:
-                _wait_state(with_cpk=False)
-            wt = w_in().astype(jnp.float32)
-            commit(dv=(d_in() * wt + 1.0) / (wt + 1.0), wv=w_in() + 1)
-            if not hist_hbm:
-                hist_out[g] = hist_ref[g]
-
-        def _vis(vrh: int, vrw: int, full_tiers: bool):
-            # visible-block body over a (vrh, vrw) rect: pass A calls it
-            # with (rect_h, rect_w) + the full tight-tier dispatch; the
-            # merged mid tier (code 3) with (mid_h, mid_w)
-            if coords == "arith":
-                bz = jax.lax.rem(blk, nbz)
-                by = jax.lax.rem(blk // nbz, nby)
-                bx = blk // (nbz * nby)
-            else:
-                bx = origins_ref[blk * 6 + 3]
-                by = origins_ref[blk * 6 + 4]
-                bz = origins_ref[blk * 6 + 5]
-
-            gx = (bx * BX).astype(jnp.float32) + dxc
-            gy = (by * BY).astype(jnp.float32) + dyc
-            gz = (bz * BZ).astype(jnp.float32) + dzc
-            px = b0[0] + ax[0] * gx + ay[0] * gy + az[0] * gz
-            py = b0[1] + ax[1] * gx + ay[1] * gy + az[1] * gz
-            pz = b0[2] + ax[2] * gx + ay[2] * gy + az[2] * gz
-
-            safe_z = jnp.where(jnp.abs(pz) < 1e-9, 1e-9, pz)
-            u = jnp.floor((fx * px + cx * pz) / safe_z).astype(jnp.int32)
-            v = jnp.floor((fy * py + cy * pz) / safe_z).astype(jnp.int32)
-            in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (pz > 0)
-
-            # (a, b) = rect-relative (sublane, lane) coords: (v, u) for the
-            # normal table, (u, v) for the transposed "gather_t" table
-            oa0 = oa0u
-            ob0 = ob0u
-            if lookup == "gather_t":
-                al, bl = u - oa0, v - ob0
-            else:
-                al, bl = v - oa0, u - ob0
-            in_rect = (al >= 0) & (al < vrh) & (bl >= 0) & (bl < vrw)
-            miss_ref[0, 0] += jnp.sum((in_img & ~in_rect).astype(jnp.int32))
-            ok = in_img & in_rect
-
-            a0a = pl.multiple_of(oa0, 8)
-            b0a = pl.multiple_of(ob0, 128)
-            if lookup == "gather_nodma" or frame_vmem:
-                pass  # no per-block rect DMA to wait on in these modes
-            elif banded:
-                pltpu.make_async_copy(
-                    pk1_hbm.at[pl.ds(pl.multiple_of(2 * a0a, 16),
-                                     2 * rect_h), pl.ds(b0a, rect_w)],
-                    rect12.at[slot, g], sems.at[0, slot, g]).wait()
-            else:
-                pltpu.make_async_copy(pk1_hbm.at[pl.ds(a0a, rect_h),
-                                                 pl.ds(b0a, rect_w)],
-                                      rect12.at[slot, g, pl.ds(0, rect_h)],
-                                      sems.at[0, slot, g]).wait()
-                pltpu.make_async_copy(pk2_hbm.at[pl.ds(a0a, rect_h),
-                                                 pl.ds(b0a, rect_w)],
-                                      rect12.at[slot, g,
-                                                pl.ds(rect_h, rect_h)],
-                                      sems.at[1, slot, g]).wait()
-
-            hdt = hist_buf.dtype if hist_hbm else hist_ref.dtype
-            if hist_hbm:
-                # the DMA-in was started a grid step ahead (double-
-                # buffered prefetch); the wait is unconditional so the
-                # scratch slot can be reused even when this block skips
-                # the update
-                pltpu.make_async_copy(hist_ref.at[hid],
-                                      hist_buf.at[slot, g],
-                                      hsem.at[slot, g]).wait()
-            if state_hbm:
-                _wait_state(with_cpk=True)
-
-            # footprint bbox in rect coords (in-image voxels only) — feeds
-            # both the uniform-classification window and the frame_vmem
-            # narrow-chunk dispatch below
-            big_i = jnp.int32(2 ** 30)
-            al_min = jnp.min(jnp.where(in_img, al, big_i))
-            al_max = jnp.max(jnp.where(in_img, al, -1))
-            bl_min = jnp.min(jnp.where(in_img, bl, big_i))
-            bl_max = jnp.max(jnp.where(in_img, bl, -1))
-
-            def _update_body(winv, al_off, bl_off, wrh, wrw):
-                """Uniform classification + the three update bodies over a
-                static (wrh, wrw) window whose rows/lanes sit at offsets
-                (al_off, bl_off) within the block rect. `winv` is the
-                banded frame_vmem window VALUE; None = the DMA-scratch
-                paths (which read rect12 and use the full rect,
-                offsets == 0, wrh == rect_h).
-
-                ---- uniform-block classification (the 512^3 lever) ----
-                The per-voxel rect lookup is the kernel's dominant cost,
-                but MOST visible blocks don't need it: a block whose whole
-                footprint depth range puts every voxel beyond the
-                truncation band in FRONT of the surface updates uniformly
-                (dn == 1, no color/hist), and one entirely BEHIND it
-                (diff <= -mu culled) is the identity. Both bounds come
-                from a masked min/max over the footprint's bbox inside the
-                window — ~30x cheaper than the lookup chain — and are
-                conservative in exact f32 arithmetic, so the classified
-                updates are BIT-IDENTICAL to the full path:
-                  free:   d_raw >= d_min, pz <= pz_max
-                          => diff_m >= d_min/s - pz_max >= mu => dn = 1
-                  behind: d_raw <= d_max, pz >= pz_min
-                          => diff_m <= d_max/s - pz_min <= -mu => invalid
-                (d_raw == 0 pixels are invalid in both paths.) The miss
-                counter above is branch-independent. `uniform_skip` gates
-                the whole scheme for A/B timing."""
-                al_r = al - al_off
-                bl_r = bl - bl_off
-                if uniform_skip:
-                    if winv is not None:
-                        d_tab = winv.reshape(
-                            (2 * wrh) // 16, 16, wrw)[:, :8].reshape(
-                            wrh, wrw)
-                        d_tab = jnp.mod(d_tab, 65536.0)
-                    elif banded:
-                        # depth rows are the even 8-row bands, in original
-                        # row order once de-interleaved
-                        d_tab = rect12[slot, g].reshape(
-                            (2 * wrh) // 16, 16, wrw)[:, :8].reshape(
-                            wrh, wrw)
-                        d_tab = jnp.mod(d_tab, 65536.0)
-                    else:
-                        d_tab = jnp.mod(rect12[slot, g, :wrh], 65536.0)
-                    row_i = jax.lax.broadcasted_iota(jnp.int32,
-                                                     (wrh, wrw), 0)
-                    col_i = jax.lax.broadcasted_iota(jnp.int32,
-                                                     (wrh, wrw), 1)
-                    fp = ((row_i >= al_min - al_off)
-                          & (row_i <= al_max - al_off)
-                          & (col_i >= bl_min - bl_off)
-                          & (col_i <= bl_max - bl_off))
-                    d_min = jnp.min(jnp.where(fp, d_tab, jnp.float32(1e30)))
-                    d_max = jnp.max(jnp.where(fp, d_tab, 0.0))
-                    pz_min = jnp.min(pz)
-                    pz_max = jnp.max(pz)
-                    behind = d_max / depth_scale - pz_min <= -mu
-                    free = (jnp.all(ok) & (d_min > 0.0)
-                            & (d_min / depth_scale - pz_max >= mu))
+            def _vis(vrh: int, vrw: int, full_tiers: bool):
+                # visible-block body over a (vrh, vrw) rect: pass A calls it
+                # with (rect_h, rect_w) + the full tight-tier dispatch; the
+                # merged mid tier (code 3) with (mid_h, mid_w)
+                if coords == "arith":
+                    bz = jax.lax.rem(blk, nbz)
+                    by = jax.lax.rem(blk // nbz, nby)
+                    bx = blk // (nbz * nby)
                 else:
-                    behind = jnp.bool_(False)
-                    free = jnp.bool_(False)
+                    bx = origins_ref[blk * 6 + 3]
+                    by = origins_ref[blk * 6 + 4]
+                    bz = origins_ref[blk * 6 + 5]
 
-                @pl.when(behind)
-                def _():
-                    # every voxel invalid: full identity
-                    commit()
-                    if not hist_hbm:
-                        hist_out[g] = hist_ref[g]
+                gx = (bx * BX).astype(jnp.float32) + dxc
+                gy = (by * BY).astype(jnp.float32) + dyc
+                gz = (bz * BZ).astype(jnp.float32) + dzc
+                px = b0[0] + ax[0] * gx + ay[0] * gy + az[0] * gz
+                py = b0[1] + ax[1] * gx + ay[1] * gy + az[1] * gz
+                pz = b0[2] + ax[2] * gx + ay[2] * gy + az[2] * gz
 
-                @pl.when(~behind & free)
-                def _():
-                    # every voxel valid with dn == 1: closed-form update,
-                    # color/hist gated off (dn >= color_diff_gate)
-                    wt = w_in().astype(jnp.float32)
-                    commit(dv=(d_in() * wt + 1.0) / (wt + 1.0),
-                           wv=w_in() + 1)
-                    if not hist_hbm:
-                        hist_out[g] = hist_ref[g]
+                safe_z = jnp.where(jnp.abs(pz) < 1e-9, 1e-9, pz)
+                u = jnp.floor((fx * px + cx * pz) / safe_z).astype(jnp.int32)
+                v = jnp.floor((fy * py + cy * pz) / safe_z).astype(jnp.int32)
+                in_img = (u >= 0) & (u < W) & (v >= 0) & (v < H) & (pz > 0)
 
-                @pl.when(~behind & ~free)
-                def _():
-                    if winv is not None:
-                        val1, val2 = _rect_lookup_gather_banded(
-                            winv, al_r, bl_r, ok, wrh, wrw)
-                    elif banded:
-                        val1, val2 = _rect_lookup_gather_banded(
-                            rect12.at[slot, g], al, bl, ok, wrh, wrw)
-                    elif lookup in ("gather", "gather_t", "gather_nodma"):
-                        val1, val2 = _rect_lookup_gather(
-                            rect12.at[slot, g], al, bl, ok, wrh, wrw)
-                    elif lookup == "none":  # ablation only (WRONG math)
-                        val1 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
-                                + rect12[slot, g, 0, 0])
-                        val2 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
-                                + rect12[slot, g, rect_h, 0])
+                # (a, b) = rect-relative (sublane, lane) coords: (v, u) for the
+                # normal table, (u, v) for the transposed "gather_t" table
+                oa0 = oa0u
+                ob0 = ob0u
+                if lookup == "gather_t":
+                    al, bl = u - oa0, v - ob0
+                else:
+                    al, bl = v - oa0, u - ob0
+                in_rect = (al >= 0) & (al < vrh) & (bl >= 0) & (bl < vrw)
+                miss_ref[0, 0] += jnp.sum((in_img & ~in_rect).astype(jnp.int32))
+                ok = in_img & in_rect
+
+                a0a = pl.multiple_of(oa0, 8)
+                b0a = pl.multiple_of(ob0, 128)
+                if lookup == "gather_nodma" or frame_vmem:
+                    pass  # no per-block rect DMA to wait on in these modes
+                elif banded:
+                    pltpu.make_async_copy(
+                        pk1_hbm.at[pl.ds(pl.multiple_of(2 * a0a, 16),
+                                         2 * rect_h), pl.ds(b0a, rect_w)],
+                        rect12.at[slot, g], sems.at[0, slot, g]).wait()
+                else:
+                    pltpu.make_async_copy(pk1_hbm.at[pl.ds(a0a, rect_h),
+                                                     pl.ds(b0a, rect_w)],
+                                          rect12.at[slot, g, pl.ds(0, rect_h)],
+                                          sems.at[0, slot, g]).wait()
+                    pltpu.make_async_copy(pk2_hbm.at[pl.ds(a0a, rect_h),
+                                                     pl.ds(b0a, rect_w)],
+                                          rect12.at[slot, g,
+                                                    pl.ds(rect_h, rect_h)],
+                                          sems.at[1, slot, g]).wait()
+
+                hdt = hist_buf.dtype if hist_hbm else hist_ref.dtype
+                if hist_hbm and not pair:
+                    # the DMA-in was started a grid step ahead (double-
+                    # buffered prefetch); the wait is unconditional so the
+                    # scratch slot can be reused even when this block skips
+                    # the update. (pair mode waits ONCE per block before
+                    # frame 1's branches — see _block_body.)
+                    pltpu.make_async_copy(hist_ref.at[hid],
+                                          hist_buf.at[slot, g],
+                                          hsem.at[slot, g]).wait()
+                if state_hbm:
+                    _wait_state(with_cpk=True)
+
+                # footprint bbox in rect coords (in-image voxels only) — feeds
+                # both the uniform-classification window and the frame_vmem
+                # narrow-chunk dispatch below
+                big_i = jnp.int32(2 ** 30)
+                al_min = jnp.min(jnp.where(in_img, al, big_i))
+                al_max = jnp.max(jnp.where(in_img, al, -1))
+                bl_min = jnp.min(jnp.where(in_img, bl, big_i))
+                bl_max = jnp.max(jnp.where(in_img, bl, -1))
+
+                def _update_body(winv, al_off, bl_off, wrh, wrw):
+                    """Uniform classification + the three update bodies over a
+                    static (wrh, wrw) window whose rows/lanes sit at offsets
+                    (al_off, bl_off) within the block rect. `winv` is the
+                    banded frame_vmem window VALUE; None = the DMA-scratch
+                    paths (which read rect12 and use the full rect,
+                    offsets == 0, wrh == rect_h).
+
+                    ---- uniform-block classification (the 512^3 lever) ----
+                    The per-voxel rect lookup is the kernel's dominant cost,
+                    but MOST visible blocks don't need it: a block whose whole
+                    footprint depth range puts every voxel beyond the
+                    truncation band in FRONT of the surface updates uniformly
+                    (dn == 1, no color/hist), and one entirely BEHIND it
+                    (diff <= -mu culled) is the identity. Both bounds come
+                    from a masked min/max over the footprint's bbox inside the
+                    window — ~30x cheaper than the lookup chain — and are
+                    conservative in exact f32 arithmetic, so the classified
+                    updates are BIT-IDENTICAL to the full path:
+                      free:   d_raw >= d_min, pz <= pz_max
+                              => diff_m >= d_min/s - pz_max >= mu => dn = 1
+                      behind: d_raw <= d_max, pz >= pz_min
+                              => diff_m <= d_max/s - pz_min <= -mu => invalid
+                    (d_raw == 0 pixels are invalid in both paths.) The miss
+                    counter above is branch-independent. `uniform_skip` gates
+                    the whole scheme for A/B timing."""
+                    al_r = al - al_off
+                    bl_r = bl - bl_off
+                    if uniform_skip:
+                        if winv is not None:
+                            d_tab = winv.reshape(
+                                (2 * wrh) // 16, 16, wrw)[:, :8].reshape(
+                                wrh, wrw)
+                            d_tab = jnp.mod(d_tab, 65536.0)
+                        elif banded:
+                            # depth rows are the even 8-row bands, in original
+                            # row order once de-interleaved
+                            d_tab = rect12[slot, g].reshape(
+                                (2 * wrh) // 16, 16, wrw)[:, :8].reshape(
+                                wrh, wrw)
+                            d_tab = jnp.mod(d_tab, 65536.0)
+                        else:
+                            d_tab = jnp.mod(rect12[slot, g, :wrh], 65536.0)
+                        row_i = jax.lax.broadcasted_iota(jnp.int32,
+                                                         (wrh, wrw), 0)
+                        col_i = jax.lax.broadcasted_iota(jnp.int32,
+                                                         (wrh, wrw), 1)
+                        fp = ((row_i >= al_min - al_off)
+                              & (row_i <= al_max - al_off)
+                              & (col_i >= bl_min - bl_off)
+                              & (col_i <= bl_max - bl_off))
+                        d_min = jnp.min(jnp.where(fp, d_tab, jnp.float32(1e30)))
+                        d_max = jnp.max(jnp.where(fp, d_tab, 0.0))
+                        pz_min = jnp.min(pz)
+                        pz_max = jnp.max(pz)
+                        behind = d_max / depth_scale - pz_min <= -mu
+                        free = (jnp.all(ok) & (d_min > 0.0)
+                                & (d_min / depth_scale - pz_max >= mu))
                     else:
-                        val1, val2 = _rect_lookup_matmul(
-                            rect12[slot, g, :rect_h],
-                            rect12[slot, g, rect_h:],
-                            al, bl, ok, rh_i, rect_h, wrw)
-                    d_raw = jnp.mod(val1, 65536.0)     # uint16 depth, exact
-                    m_id = jnp.floor(val1 / 65536.0)   # mask id
-                    diff_m = d_raw / depth_scale - pz
-                    valid = ok & (d_raw > 0) & (diff_m > -mu)
-                    dn = jnp.minimum(diff_m, mu) / mu
-                    gate = valid & (dn < color_diff_gate)
-                    m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
+                        behind = jnp.bool_(False)
+                        free = jnp.bool_(False)
 
-                    wt = w_in().astype(jnp.float32)
-                    new_diff = jnp.where(valid,
-                                         (d_in() * wt + dn) / (wt + 1.0),
-                                         d_in())
-
-                    # color: integer truncating blend per byte, exact f32
-                    cpk = c_in()
-                    cb = jnp.mod(cpk, 256.0)
-                    cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
-                    cr = jnp.floor(cpk / 65536.0)
-                    nb_ = jnp.mod(val2, 256.0)
-                    ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
-                    nr = jnp.floor(val2 / 65536.0)
-                    wtp1 = wt + 1.0
-
-                    # floor of an f32 division can land one above the true
-                    # integer quotient when the ratio sits just under an
-                    # integer; correct it so the blend matches the
-                    # reference's integer truncation exactly.
-                    def idiv(a, den):
-                        q = jnp.floor(a / den)
-                        return q - (q * den > a).astype(jnp.float32)
-
-                    ub = idiv(cb * wt + nb_, wtp1)
-                    ug = idiv(cg * wt + ng, wtp1)
-                    ur = idiv(cr * wt + nr, wtp1)
-                    new_cpk = jnp.where(gate,
-                                        ub + ug * 256.0 + ur * 65536.0,
-                                        cpk)
-
-                    # histogram in the row-native layout: replicate each
-                    # s-row of (m, gate) to its hist rows on the MXU
-                    # (bf16-exact: values <= K-1 and 0/1, one-term sums),
-                    # then lane-gather the voxel column and compare
-                    # against the k lane pattern. Only blocks with at
-                    # least one gated (near-surface) voxel pay for this.
-                    any_gate = jnp.any(gate)
-
-                    def _hist_update(h_in):
-                        m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
-                                     preferred_element_type=jnp.float32)
-                        g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
-                                     preferred_element_type=jnp.float32)
-                        m_exp = jnp.take_along_axis(m2, lane_src, axis=1)
-                        g_exp = jnp.take_along_axis(g2, lane_src, axis=1)
-                        oh = (m_exp == k_lane) & (g_exp > 0.5)
-                        if hdt == jnp.uint8:
-                            # u8 counts saturate instead of wrapping
-                            # (exact for <= 255 fused frames — the
-                            # reference caps at 100, kernel.cpp:74).
-                            # Mosaic's v5e vector ALU has no i8 add and no
-                            # i16 compare — compute in i32, store u8: HBM
-                            # traffic still halves.
-                            h32 = h_in.astype(jnp.int32)
-                            oh32 = (oh & (h32 < 255)).astype(jnp.int32)
-                            return (h32 + oh32).astype(hdt)
-                        return h_in + oh.astype(hdt)
-
-                    if hist_hbm:
-                        @pl.when(any_gate)
-                        def _():
-                            hist_buf[slot, g] = _hist_update(
-                                hist_buf[slot, g])
-                            cp = pltpu.make_async_copy(
-                                hist_buf.at[slot, g],
-                                hist_out.at[hid], hsem.at[slot, g])
-                            cp.start()
-                            if defer_wb:
-                                wfl[(3 * NSLOT + slot) * group + g] = 1
-                            else:
-                                cp.wait()
-                    else:
-                        @pl.when(any_gate)
-                        def _():
-                            hist_out[g] = _hist_update(hist_ref[g])
-
-                        @pl.when(~any_gate)
-                        def _():
+                    @pl.when(behind)
+                    def _():
+                        # every voxel invalid: full identity
+                        commit()
+                        if not hist_hbm:
                             hist_out[g] = hist_ref[g]
 
-                    commit(dv=new_diff, cv=new_cpk,
-                           wv=w_in() + valid.astype(jnp.int32))
-
-            if frame_vmem:
-                # Tight-window specialization: the window read, the
-                # uniform-bound scan and the whole gather chain scale with
-                # the static window size, and most footprints are FAR
-                # smaller than the rect (measured at the 512^3 bench
-                # scene: v-extent p50 = 22 rows, 79% fit a 32-row
-                # 8-anchored window; 82% fit one 128-lane chunk). The
-                # window anchors to the FOOTPRINT (8/128-aligned floor of
-                # its absolute min, clamped to the table), not the rect:
-                #   tier 0 (16, 128): footprint fits the smallest spans
-                #                     (full_tiers passes only);
-                #   tier 1 (32, 128): footprint fits both tight spans;
-                #   tier 2 (vrh, 128): lanes fit one chunk only;
-                #   tier 3 (vrh, vrw): the always-correct fallback.
-                # Bit-exact: each tier's window covers the whole in-image
-                # footprint bbox by its dispatch test, so the uniform
-                # bounds see the same pixel set and ok-masking zeroes
-                # everything else — dispatch changes cost, never values.
-                tab_h = rect12.shape[0] // 2   # logical table height
-                tab_w = rect12.shape[1]
-                v0b = pl.multiple_of(2 * a0a, 16)
-                av_max = oa0 + al_max
-                au_max = ob0 + bl_max
-                nonempty = al_max >= al_min
-                RW0, RW1 = 16, 32
-                ca = jnp.clip(((ob0 + bl_min) // TILE_L) * TILE_L,
-                              0, tab_w - TILE_L)
-                one_ch = nonempty & (au_max - ca < TILE_L)
-                if full_tiers and vrw > TILE_L and vrh > RW1:
-                    va0 = jnp.clip(((oa0 + al_min) // 8) * 8,
-                                   0, tab_h - RW0)
-                    va = jnp.clip(((oa0 + al_min) // 8) * 8,
-                                  0, tab_h - RW1)
-                    t0 = one_ch & (av_max - va0 < RW0)
-                    t1 = one_ch & ~t0 & (av_max - va < RW1)
-                    t2 = one_ch & ~t0 & ~t1
-
-                    @pl.when(t0)
+                    @pl.when(~behind & free)
                     def _():
-                        winv = rect12[
-                            pl.ds(pl.multiple_of(2 * va0, 16), 2 * RW0),
-                            pl.ds(pl.multiple_of(ca, 128), TILE_L)]
-                        _update_body(winv, va0 - oa0, ca - ob0,
-                                     RW0, TILE_L)
+                        # every voxel valid with dn == 1: closed-form update,
+                        # color/hist gated off (dn >= color_diff_gate)
+                        wt = w_in().astype(jnp.float32)
+                        commit(dv=(d_in() * wt + 1.0) / (wt + 1.0),
+                               wv=w_in() + 1)
+                        if not hist_hbm:
+                            hist_out[g] = hist_ref[g]
 
-                    @pl.when(t1)
+                    @pl.when(~behind & ~free)
                     def _():
-                        winv = rect12[
-                            pl.ds(pl.multiple_of(2 * va, 16), 2 * RW1),
-                            pl.ds(pl.multiple_of(ca, 128), TILE_L)]
-                        _update_body(winv, va - oa0, ca - ob0,
-                                     RW1, TILE_L)
+                        if winv is not None:
+                            val1, val2 = _rect_lookup_gather_banded(
+                                winv, al_r, bl_r, ok, wrh, wrw)
+                        elif banded:
+                            val1, val2 = _rect_lookup_gather_banded(
+                                rect12.at[slot, g], al, bl, ok, wrh, wrw)
+                        elif lookup in ("gather", "gather_t", "gather_nodma"):
+                            val1, val2 = _rect_lookup_gather(
+                                rect12.at[slot, g], al, bl, ok, wrh, wrw)
+                        elif lookup == "none":  # ablation only (WRONG math)
+                            val1 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
+                                    + rect12[slot, g, 0, 0])
+                            val2 = (jnp.zeros((TILE_S, TILE_L), jnp.float32)
+                                    + rect12[slot, g, rect_h, 0])
+                        else:
+                            val1, val2 = _rect_lookup_matmul(
+                                rect12[slot, g, :rect_h],
+                                rect12[slot, g, rect_h:],
+                                al, bl, ok, rh_i, rect_h, wrw)
+                        d_raw = jnp.mod(val1, 65536.0)     # uint16 depth, exact
+                        m_id = jnp.floor(val1 / 65536.0)   # mask id
+                        diff_m = d_raw / depth_scale - pz
+                        valid = ok & (d_raw > 0) & (diff_m > -mu)
+                        dn = jnp.minimum(diff_m, mu) / mu
+                        gate = valid & (dn < color_diff_gate)
+                        m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
 
-                    @pl.when(t2)
-                    def _():
-                        winv = rect12[
-                            pl.ds(v0b, 2 * vrh),
-                            pl.ds(pl.multiple_of(ca, 128), TILE_L)]
-                        _update_body(winv, jnp.int32(0), ca - ob0,
-                                     vrh, TILE_L)
+                        wt = w_in().astype(jnp.float32)
+                        new_diff = jnp.where(valid,
+                                             (d_in() * wt + dn) / (wt + 1.0),
+                                             d_in())
 
-                    @pl.when(~one_ch)
-                    def _():
-                        winv = rect12[pl.ds(v0b, 2 * vrh),
-                                      pl.ds(b0a, vrw)]
-                        _update_body(winv, jnp.int32(0), jnp.int32(0),
-                                     vrh, vrw)
-                elif vrw > TILE_L:
-                    # merged mid tier: one-chunk / full-window dispatch
-                    @pl.when(one_ch)
-                    def _():
-                        winv = rect12[
-                            pl.ds(v0b, 2 * vrh),
-                            pl.ds(pl.multiple_of(ca, 128), TILE_L)]
-                        _update_body(winv, jnp.int32(0), ca - ob0,
-                                     vrh, TILE_L)
+                        # color: integer truncating blend per byte, exact f32
+                        cpk = c_in()
+                        cb = jnp.mod(cpk, 256.0)
+                        cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
+                        cr = jnp.floor(cpk / 65536.0)
+                        nb_ = jnp.mod(val2, 256.0)
+                        ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
+                        nr = jnp.floor(val2 / 65536.0)
+                        wtp1 = wt + 1.0
 
-                    @pl.when(~one_ch)
-                    def _():
+                        # floor of an f32 division can land one above the true
+                        # integer quotient when the ratio sits just under an
+                        # integer; correct it so the blend matches the
+                        # reference's integer truncation exactly.
+                        def idiv(a, den):
+                            q = jnp.floor(a / den)
+                            return q - (q * den > a).astype(jnp.float32)
+
+                        ub = idiv(cb * wt + nb_, wtp1)
+                        ug = idiv(cg * wt + ng, wtp1)
+                        ur = idiv(cr * wt + nr, wtp1)
+                        new_cpk = jnp.where(gate,
+                                            ub + ug * 256.0 + ur * 65536.0,
+                                            cpk)
+
+                        # histogram in the row-native layout: replicate each
+                        # s-row of (m, gate) to its hist rows on the MXU
+                        # (bf16-exact: values <= K-1 and 0/1, one-term sums),
+                        # then lane-gather the voxel column and compare
+                        # against the k lane pattern. Only blocks with at
+                        # least one gated (near-surface) voxel pay for this.
+                        any_gate = jnp.any(gate)
+
+                        def _hist_update(h_in):
+                            m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
+                                         preferred_element_type=jnp.float32)
+                            g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
+                                         preferred_element_type=jnp.float32)
+                            m_exp = jnp.take_along_axis(m2, lane_src, axis=1)
+                            g_exp = jnp.take_along_axis(g2, lane_src, axis=1)
+                            oh = (m_exp == k_lane) & (g_exp > 0.5)
+                            if hdt == jnp.uint8:
+                                # u8 counts saturate instead of wrapping
+                                # (exact for <= 255 fused frames — the
+                                # reference caps at 100, kernel.cpp:74).
+                                # Mosaic's v5e vector ALU has no i8 add and no
+                                # i16 compare — compute in i32, store u8: HBM
+                                # traffic still halves.
+                                h32 = h_in.astype(jnp.int32)
+                                oh32 = (oh & (h32 < 255)).astype(jnp.int32)
+                                return (h32 + oh32).astype(hdt)
+                            return h_in + oh.astype(hdt)
+
+                        if hist_hbm and pair:
+                            # pair: both frames update the staging slot
+                            # in place; ONE write-back fires after frame
+                            # 2 if either frame dirtied it (_block_body)
+                            @pl.when(any_gate)
+                            def _():
+                                hist_buf[slot, g] = _hist_update(
+                                    hist_buf[slot, g])
+                                wfl[4 * NSLOT * group + g] = 1
+                        elif hist_hbm:
+                            @pl.when(any_gate)
+                            def _():
+                                hist_buf[slot, g] = _hist_update(
+                                    hist_buf[slot, g])
+                                cp = pltpu.make_async_copy(
+                                    hist_buf.at[slot, g],
+                                    hist_out.at[hid], hsem.at[slot, g])
+                                cp.start()
+                                if defer_wb:
+                                    wfl[(3 * NSLOT + slot) * group + g] = 1
+                                else:
+                                    cp.wait()
+                        else:
+                            @pl.when(any_gate)
+                            def _():
+                                hist_out[g] = _hist_update(hist_ref[g])
+
+                            @pl.when(~any_gate)
+                            def _():
+                                hist_out[g] = hist_ref[g]
+
+                        commit(dv=new_diff, cv=new_cpk,
+                               wv=w_in() + valid.astype(jnp.int32))
+
+                if frame_vmem:
+                    # Tight-window specialization: the window read, the
+                    # uniform-bound scan and the whole gather chain scale with
+                    # the static window size, and most footprints are FAR
+                    # smaller than the rect (measured at the 512^3 bench
+                    # scene: v-extent p50 = 22 rows, 79% fit a 32-row
+                    # 8-anchored window; 82% fit one 128-lane chunk). The
+                    # window anchors to the FOOTPRINT (8/128-aligned floor of
+                    # its absolute min, clamped to the table), not the rect:
+                    #   tier 0 (16, 128): footprint fits the smallest spans
+                    #                     (full_tiers passes only);
+                    #   tier 1 (32, 128): footprint fits both tight spans;
+                    #   tier 2 (vrh, 128): lanes fit one chunk only;
+                    #   tier 3 (vrh, vrw): the always-correct fallback.
+                    # Bit-exact: each tier's window covers the whole in-image
+                    # footprint bbox by its dispatch test, so the uniform
+                    # bounds see the same pixel set and ok-masking zeroes
+                    # everything else — dispatch changes cost, never values.
+                    # logical (un-banded) per-frame table height: a
+                    # pair scratch stacks two banded tables
+                    tab_h = (tab2_off if pair else rect12.shape[0]) // 2
+                    tab_w = rect12.shape[1]
+                    v0b = pl.multiple_of(t_off + 2 * a0a, 16)
+                    av_max = oa0 + al_max
+                    au_max = ob0 + bl_max
+                    nonempty = al_max >= al_min
+                    RW0, RW1 = 16, 32
+                    ca = jnp.clip(((ob0 + bl_min) // TILE_L) * TILE_L,
+                                  0, tab_w - TILE_L)
+                    one_ch = nonempty & (au_max - ca < TILE_L)
+                    if full_tiers and vrw > TILE_L and vrh > RW1:
+                        va0 = jnp.clip(((oa0 + al_min) // 8) * 8,
+                                       0, tab_h - RW0)
+                        va = jnp.clip(((oa0 + al_min) // 8) * 8,
+                                      0, tab_h - RW1)
+                        t0 = one_ch & (av_max - va0 < RW0)
+                        t1 = one_ch & ~t0 & (av_max - va < RW1)
+                        t2 = one_ch & ~t0 & ~t1
+
+                        @pl.when(t0)
+                        def _():
+                            winv = rect12[
+                                pl.ds(pl.multiple_of(t_off + 2 * va0,
+                                                     16), 2 * RW0),
+                                pl.ds(pl.multiple_of(ca, 128), TILE_L)]
+                            _update_body(winv, va0 - oa0, ca - ob0,
+                                         RW0, TILE_L)
+
+                        @pl.when(t1)
+                        def _():
+                            winv = rect12[
+                                pl.ds(pl.multiple_of(t_off + 2 * va,
+                                                     16), 2 * RW1),
+                                pl.ds(pl.multiple_of(ca, 128), TILE_L)]
+                            _update_body(winv, va - oa0, ca - ob0,
+                                         RW1, TILE_L)
+
+                        @pl.when(t2)
+                        def _():
+                            winv = rect12[
+                                pl.ds(v0b, 2 * vrh),
+                                pl.ds(pl.multiple_of(ca, 128), TILE_L)]
+                            _update_body(winv, jnp.int32(0), ca - ob0,
+                                         vrh, TILE_L)
+
+                        @pl.when(~one_ch)
+                        def _():
+                            winv = rect12[pl.ds(v0b, 2 * vrh),
+                                          pl.ds(b0a, vrw)]
+                            _update_body(winv, jnp.int32(0), jnp.int32(0),
+                                         vrh, vrw)
+                    elif vrw > TILE_L:
+                        # merged mid tier: one-chunk / full-window dispatch
+                        @pl.when(one_ch)
+                        def _():
+                            winv = rect12[
+                                pl.ds(v0b, 2 * vrh),
+                                pl.ds(pl.multiple_of(ca, 128), TILE_L)]
+                            _update_body(winv, jnp.int32(0), ca - ob0,
+                                         vrh, TILE_L)
+
+                        @pl.when(~one_ch)
+                        def _():
+                            winv = rect12[pl.ds(v0b, 2 * vrh),
+                                          pl.ds(b0a, vrw)]
+                            _update_body(winv, jnp.int32(0), jnp.int32(0),
+                                         vrh, vrw)
+                    else:
                         winv = rect12[pl.ds(v0b, 2 * vrh),
                                       pl.ds(b0a, vrw)]
                         _update_body(winv, jnp.int32(0), jnp.int32(0),
                                      vrh, vrw)
                 else:
-                    winv = rect12[pl.ds(v0b, 2 * vrh),
-                                  pl.ds(b0a, vrw)]
-                    _update_body(winv, jnp.int32(0), jnp.int32(0),
+                    _update_body(None, jnp.int32(0), jnp.int32(0),
                                  vrh, vrw)
-            else:
-                _update_body(None, jnp.int32(0), jnp.int32(0),
-                             vrh, vrw)
 
-        @pl.when(code_b == 1)
-        def _():
-            _vis(rect_h, rect_w, True)
-
-        if merge_mid:
-            @pl.when(code_b == 3)
+            @pl.when(code_b == 1)
             def _():
-                _vis(mid_h, mid_w, False)
+                _vis(rect_h, rect_w, True)
+
+            if merge_mid:
+                @pl.when(code_b == 3)
+                def _():
+                    _vis(mid_h, mid_w, False)
+
+        oa0u, ob0u, code_b = _origin(blk)
+        if pair:
+            # reset the pair hist-dirty flag and consume the (single)
+            # hist prefetch for blocks visible in either frame
+            wfl[4 * NSLOT * group + g] = 0
+            _, _, c2w = _origin2(blk)
+
+            @pl.when((code_b == 1) | (code_b == 3)
+                     | (c2w == 1) | (c2w == 3))
+            def _():
+                pltpu.make_async_copy(hist_ref.at[blk],
+                                      hist_buf.at[slot, g],
+                                      hsem.at[slot, g]).wait()
+
+        _run_frame(oa0u, ob0u, code_b, 0, 0, True)
+        if pair:
+            oa2, ob2, c2 = _origin2(blk)
+            _run_frame(oa2, ob2, c2, 32, tab2_off, False)
+
+            # one hist write-back per pair, if either frame updated it
+            @pl.when(wfl[4 * NSLOT * group + g] == 1)
+            def _():
+                cp = pltpu.make_async_copy(hist_buf.at[slot, g],
+                                           hist_out.at[blk],
+                                           hsem.at[slot, g])
+                cp.start()
+                if defer_wb:
+                    wfl[(3 * NSLOT + slot) * group + g] = 1
+                else:
+                    cp.wait()
         return 0
 
     if visit_compact:
@@ -1369,6 +1466,124 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 return 0
 
             jax.lax.fori_loop(0, group, _fin, 0)
+
+
+def _compacted_pass(state_arrays, flags, origs, rect, budget, grp, *,
+                    b, cfg, K, H, W, pk1, pk2, params, lookup,
+                    defer_wb, uniform_skip, mid_h, mid_w, interpret,
+                    codes=None, hist_hbm=False, st_hbm=False,
+                    fv=False, band=False, merge=False):
+    """Fuse the `flags` blocks (up to `budget`) with a `rect`-sized
+    window at per-slot origins. Returns (updated arrays, misses,
+    whole-block overflow count).
+
+    `codes` (optional [NB] i32) carries each block's vis code into the
+    slot table so the kernel's free closed-form branch (code 2) works
+    inside a compacted pass. `hist_hbm`/`st_hbm` keep the FULL
+    histogram / diff/colorpk/weight in HBM (aliased in place, manual
+    DMA by true block id) instead of gathering + streaming per-slot
+    blocks: an XLA-side gather/scatter of 16k state blocks measured
+    16 ms of pure prep (8 KB-row gathers are latency-bound at
+    ~0.1 us/row) — the sparse main pass uses both."""
+    NB = b.diff.shape[0]
+    HRK2 = BLOCK_VOX * K // TILE_L
+    new_diff, new_cpk, new_wt, new_hist = state_arrays
+    rh, rw = rect
+    n_flag = flags.sum()
+    (ids,) = jnp.nonzero(flags, size=budget, fill_value=NB)
+    valid = (ids < NB).astype(jnp.int32)
+    idc = jnp.minimum(ids, NB - 1)
+    bx = (idc // (b.nbz * b.nby)).astype(jnp.int32)
+    by = ((idc // b.nbz) % b.nby).astype(jnp.int32)
+    bz = (idc % b.nbz).astype(jnp.int32)
+    if origs is None:
+        a0 = jnp.zeros_like(idc)
+        b0 = jnp.zeros_like(idc)
+    else:
+        o2 = origs.reshape(NB, 2)
+        a0, b0 = o2[idc, 0], o2[idc, 1]
+    vis_col = valid if codes is None else valid * codes[idc]
+    origins_c = jnp.stack([a0, b0, vis_col, bx, by, bz],
+                          axis=-1).reshape(-1)
+    kern_c = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby,
+                     nbz=b.nbz, rect_h=rh, rect_w=rw,
+                     color_diff_gate=cfg.color_diff_gate,
+                     depth_scale=cfg.depth_scale, group=grp,
+                     coords="smem", lookup=lookup, hist_hbm=hist_hbm,
+                     banded=band, frame_vmem=fv, state_hbm=st_hbm,
+                     defer_wb=defer_wb,
+                     uniform_skip=uniform_skip,
+                     merge_mid=merge, mid_h=mid_h, mid_w=mid_w)
+    hist_spec = (pl.BlockSpec(memory_space=pl.ANY) if hist_hbm
+                 else pl.BlockSpec((grp, HRK2, TILE_L),
+                                   lambda i, o: (i, 0, 0),
+                                   memory_space=pltpu.VMEM))
+    if st_hbm:
+        state_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    else:
+        sspec = pl.BlockSpec((grp, TILE_S, TILE_L),
+                             lambda i, o: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+        state_specs = [sspec, sspec, sspec]
+    grid_c = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(budget // grp,),
+        in_specs=[
+            pl.BlockSpec((32,), lambda i, o: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            *state_specs,
+            hist_spec,
+        ],
+        out_specs=[
+            *state_specs,
+            hist_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            # DMA pipeline slots, as in the dense grid spec — or the
+            # VMEM-resident table in frame_vmem mode
+            (pltpu.VMEM(pk1.shape, jnp.float32) if fv
+             else pltpu.VMEM((NSLOT, grp, 2 * rh, rw), jnp.float32)),
+            (pltpu.SemaphoreType.DMA if fv
+             else pltpu.SemaphoreType.DMA((2, NSLOT, grp))),
+            # hist staging slots (hbm mode); positionally required
+            pltpu.VMEM((NSLOT, grp, HRK2, TILE_L), b.hist.dtype),
+            pltpu.SemaphoreType.DMA((NSLOT, grp)),
+            # state staging slots (state_hbm mode)
+            pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.float32),
+            pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.float32),
+            pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.int32),
+            pltpu.SemaphoreType.DMA((3, NSLOT, grp)),
+            pltpu.SMEM((4 * NSLOT * grp,), jnp.int32),
+        ],
+    )
+    da = new_diff if st_hbm else new_diff[idc]
+    ca = new_cpk if st_hbm else new_cpk[idc]
+    wa = new_wt if st_hbm else new_wt[idc]
+    ha = new_hist if hist_hbm else new_hist[idc]
+    d2, c2, w2, h2, miss_c = pl.pallas_call(
+        kern_c,
+        grid_spec=grid_c,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_shape=[
+            jax.ShapeDtypeStruct(da.shape, jnp.float32),
+            jax.ShapeDtypeStruct(ca.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wa.shape, jnp.int32),
+            jax.ShapeDtypeStruct(ha.shape, ha.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        interpret=interpret,
+    )(origins_c, params, pk1, pk2, da, ca, wa, ha)
+    # out-of-bounds indices (padded slots carry ids == NB) are dropped
+    return ((d2 if st_hbm else new_diff.at[ids].set(d2),
+             c2 if st_hbm else new_cpk.at[ids].set(c2),
+             w2 if st_hbm else new_wt.at[ids].set(w2),
+             h2 if hist_hbm else new_hist.at[ids].set(h2)),
+            miss_c[0, 0], jnp.maximum(n_flag - budget, 0))
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
@@ -1704,118 +1919,11 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
         pk2 = jnp.pad(pk2, ((0, fr_h - Hp), (0, fr_w - Wp)))
     HRK2 = BLOCK_VOX * K // TILE_L
 
-    def compacted_pass(state_arrays, flags, origs, rect, budget, grp,
-                       codes=None, hist_hbm=False, st_hbm=False,
-                       fv=False, band=False, merge=False):
-        """Fuse the `flags` blocks (up to `budget`) with a `rect`-sized
-        window at per-slot origins. Returns (updated arrays, misses,
-        whole-block overflow count).
-
-        `codes` (optional [NB] i32) carries each block's vis code into the
-        slot table so the kernel's free closed-form branch (code 2) works
-        inside a compacted pass. `hist_hbm`/`st_hbm` keep the FULL
-        histogram / diff/colorpk/weight in HBM (aliased in place, manual
-        DMA by true block id) instead of gathering + streaming per-slot
-        blocks: an XLA-side gather/scatter of 16k state blocks measured
-        16 ms of pure prep (8 KB-row gathers are latency-bound at
-        ~0.1 us/row) — the sparse main pass uses both."""
-        new_diff, new_cpk, new_wt, new_hist = state_arrays
-        rh, rw = rect
-        n_flag = flags.sum()
-        (ids,) = jnp.nonzero(flags, size=budget, fill_value=NB)
-        valid = (ids < NB).astype(jnp.int32)
-        idc = jnp.minimum(ids, NB - 1)
-        bx = (idc // (b.nbz * b.nby)).astype(jnp.int32)
-        by = ((idc // b.nbz) % b.nby).astype(jnp.int32)
-        bz = (idc % b.nbz).astype(jnp.int32)
-        if origs is None:
-            a0 = jnp.zeros_like(idc)
-            b0 = jnp.zeros_like(idc)
-        else:
-            o2 = origs.reshape(NB, 2)
-            a0, b0 = o2[idc, 0], o2[idc, 1]
-        vis_col = valid if codes is None else valid * codes[idc]
-        origins_c = jnp.stack([a0, b0, vis_col, bx, by, bz],
-                              axis=-1).reshape(-1)
-        kern_c = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby,
-                         nbz=b.nbz, rect_h=rh, rect_w=rw,
-                         color_diff_gate=cfg.color_diff_gate,
-                         depth_scale=cfg.depth_scale, group=grp,
-                         coords="smem", lookup=lookup, hist_hbm=hist_hbm,
-                         banded=band, frame_vmem=fv, state_hbm=st_hbm,
-                         defer_wb=defer_wb,
-                         uniform_skip=uniform_skip,
-                         merge_mid=merge, mid_h=mid_h, mid_w=mid_w)
-        hist_spec = (pl.BlockSpec(memory_space=pl.ANY) if hist_hbm
-                     else pl.BlockSpec((grp, HRK2, TILE_L),
-                                       lambda i, o: (i, 0, 0),
-                                       memory_space=pltpu.VMEM))
-        if st_hbm:
-            state_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
-        else:
-            sspec = pl.BlockSpec((grp, TILE_S, TILE_L),
-                                 lambda i, o: (i, 0, 0),
-                                 memory_space=pltpu.VMEM)
-            state_specs = [sspec, sspec, sspec]
-        grid_c = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(budget // grp,),
-            in_specs=[
-                pl.BlockSpec((32,), lambda i, o: (0,),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                *state_specs,
-                hist_spec,
-            ],
-            out_specs=[
-                *state_specs,
-                hist_spec,
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
-            scratch_shapes=[
-                # DMA pipeline slots, as in the dense grid spec — or the
-                # VMEM-resident table in frame_vmem mode
-                (pltpu.VMEM(pk1.shape, jnp.float32) if fv
-                 else pltpu.VMEM((NSLOT, grp, 2 * rh, rw), jnp.float32)),
-                (pltpu.SemaphoreType.DMA if fv
-                 else pltpu.SemaphoreType.DMA((2, NSLOT, grp))),
-                # hist staging slots (hbm mode); positionally required
-                pltpu.VMEM((NSLOT, grp, HRK2, TILE_L), b.hist.dtype),
-                pltpu.SemaphoreType.DMA((NSLOT, grp)),
-                # state staging slots (state_hbm mode)
-                pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.float32),
-                pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.float32),
-                pltpu.VMEM((NSLOT, grp, TILE_S, TILE_L), jnp.int32),
-                pltpu.SemaphoreType.DMA((3, NSLOT, grp)),
-                pltpu.SMEM((4 * NSLOT * grp,), jnp.int32),
-            ],
-        )
-        da = new_diff if st_hbm else new_diff[idc]
-        ca = new_cpk if st_hbm else new_cpk[idc]
-        wa = new_wt if st_hbm else new_wt[idc]
-        ha = new_hist if hist_hbm else new_hist[idc]
-        d2, c2, w2, h2, miss_c = pl.pallas_call(
-            kern_c,
-            grid_spec=grid_c,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            out_shape=[
-                jax.ShapeDtypeStruct(da.shape, jnp.float32),
-                jax.ShapeDtypeStruct(ca.shape, jnp.float32),
-                jax.ShapeDtypeStruct(wa.shape, jnp.int32),
-                jax.ShapeDtypeStruct(ha.shape, ha.dtype),
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            ],
-            input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
-            interpret=interpret,
-        )(origins_c, params, pk1, pk2, da, ca, wa, ha)
-        # out-of-bounds indices (padded slots carry ids == NB) are dropped
-        return ((d2 if st_hbm else new_diff.at[ids].set(d2),
-                 c2 if st_hbm else new_cpk.at[ids].set(c2),
-                 w2 if st_hbm else new_wt.at[ids].set(w2),
-                 h2 if hist_hbm else new_hist.at[ids].set(h2)),
-                miss_c[0, 0], jnp.maximum(n_flag - budget, 0))
+    compacted_pass = partial(
+        _compacted_pass, b=b, cfg=cfg, K=K, H=H, W=W, pk1=pk1, pk2=pk2,
+        params=params, lookup=lookup, defer_wb=defer_wb,
+        uniform_skip=uniform_skip, mid_h=mid_h, mid_w=mid_w,
+        interpret=interpret)
 
     arrays = (new_diff, new_cpk, new_wt, new_hist)
     # Budgets clamp to NB: at most NB blocks can ever be flagged, and an
@@ -1861,3 +1969,182 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
     # budget overflows count the whole blocks we could not fuse
     return new_state, (miss0 + miss_m + miss_b
                        + (over0 + over_m + over_b) * BLOCK_VOX)
+
+
+def fuse_frames2_blocked_impl(b: BlockedTSDFState, depth1, color1, mask1,
+                              e1, depth2, color2, mask2, e2,
+                              intrinsic, cfg: FusionConfig):
+    """Fuse TWO relabeled frames in ONE dense kernel pass (the
+    paired-frame throughput form): per voxel, frame 1's update runs and
+    commits to the output block, then frame 2's update reads that output
+    — the composition is exactly two sequential single-frame launches,
+    so the result is BIT-IDENTICAL to calling fuse_frame_blocked_impl
+    twice with the same masks (tests/test_fuse_pair.py), while the dense
+    pass's per-frame fixed costs (grid steps, per-block visits, state
+    streaming, kernel prep — the measured ~10 ms zero-visible floor at
+    512^3, PERFORMANCE.md r4e) are paid once per PAIR.
+
+    Blocks flagged for the full-image pass B in EITHER frame are forced
+    to identity in the pair pass and fused by two sequential pass-B
+    launches (frame order preserved — pass B's full-image window
+    computes the exact update for any vis code). Requires the
+    frame_vmem "gather" configuration; anything else falls back to two
+    sequential single-frame calls. The association-side semantics of
+    pairing (frame 2's probe sees the pre-pair histogram) live in
+    fusion/pipeline.py, NOT here — this function is given both frames'
+    already-relabeled masks."""
+    H, W = depth1.shape
+    K = b.hist.shape[1] * TILE_L // BLOCK_VOX
+    NB = b.diff.shape[0]
+    lookup = getattr(cfg, "pallas_lookup", "gather_t")
+    rect_h, rect_w = getattr(cfg, "pallas_rect", (RECT_H, RECT_W))
+    rect_mid = getattr(cfg, "pallas_rect_mid", (192, 384))
+    mid_h, mid_w = rect_mid
+    Hp, Wp = max(H, rect_h), max(W, rect_w)
+    fh = max((Hp + 7) // 8 * 8, rect_mid[0])
+    fw = max((Wp + 127) // 128 * 128, rect_mid[1])
+    pairable = (lookup == "gather"
+                and not getattr(cfg, "pallas_banded_rect", False)
+                and getattr(cfg, "pallas_frame_vmem", True)
+                # TWO banded tables must fit the VMEM-resident budget
+                and 2 * (2 * fh * fw * 4) <= 14 * 1024 * 1024
+                and not getattr(cfg, "pallas_sparse", False)
+                and not getattr(cfg, "pallas_compact", False)
+                and not cfg.pallas_state_hbm
+                and not getattr(cfg, "pallas_visit_compact", False))
+    if not pairable:
+        b1, m1 = fuse_frame_blocked_impl(b, depth1, color1, mask1, e1,
+                                         intrinsic, cfg)
+        b2, m2 = fuse_frame_blocked_impl(b1, depth2, color2, mask2, e2,
+                                         intrinsic, cfg)
+        return b2, m1 + m2
+
+    preclass = getattr(cfg, "pallas_preclass", True)
+    defer_wb = getattr(cfg, "pallas_defer_writeback", True)
+    uniform_skip = getattr(cfg, "pallas_uniform_skip", True)
+    interpret = jax.default_backend() == "cpu"
+    Km = intrinsic.astype(jnp.float32)
+
+    def prep(depth, color, mask, e2i):
+        pk1, pk2 = _pack_frame(depth, color, mask)
+        if (fh, fw) != (H, W):
+            pk1 = jnp.pad(pk1, ((0, fh - H), (0, fw - W)))
+            pk2 = jnp.pad(pk2, ((0, fh - H), (0, fw - W)))
+        pk12 = jnp.stack([pk1.reshape(fh // 8, 8, fw),
+                          pk2.reshape(fh // 8, 8, fw)],
+                         axis=1).reshape(2 * fh, fw)
+        cls = (dict(depth=depth, depth_scale=cfg.depth_scale, mu=b.mu)
+               if preclass else {})
+        # origins computed vs the pre-band (Hp, Wp) table dims exactly
+        # like the single-frame path — clamps stay valid in the larger
+        # (fh, fw) table
+        origins, _fm, ff, _om = _block_origins(
+            b, e2i, intrinsic, Hp, Wp, rect_h, rect_w,
+            rect_mid=rect_mid, merge_mid=True, **cls)
+        E = e2i.astype(jnp.float32)
+        base = E[:3, :3] @ b.vol_start + E[:3, 3]
+        params = jnp.concatenate([
+            E[:3, 0] * b.voxel[0], E[:3, 1] * b.voxel[1],
+            E[:3, 2] * b.voxel[2], base,
+            jnp.stack([Km[0, 0], Km[1, 1], Km[0, 2], Km[1, 2]]),
+            b.mu[None],
+            jnp.zeros((15,), jnp.float32),
+        ]).astype(jnp.float32)
+        return pk12, origins, ff, params
+
+    T1, origins1, ff1, params1 = prep(depth1, color1, mask1, e1)
+    T2, origins2, ff2, params2 = prep(depth2, color2, mask2, e2)
+    excl = ff1 | ff2
+    # pair pass skips pass-B blocks of EITHER frame (frame order would
+    # break for them); force their codes to identity here
+    o1m = jnp.where(excl, origins1 & ~3, origins1)
+    o2m = jnp.where(excl, origins2 & ~3, origins2)
+    sp = jnp.concatenate([o1m, o2m])
+    params_pair = jnp.concatenate([params1, params2])
+    Tpair = jnp.concatenate([T1, T2], axis=0)          # [4*fh, fw]
+
+    GD = max(1, min(int(getattr(cfg, "pallas_group", GROUP)), NB))
+    while NB % GD:
+        GD //= 2
+    HRK = BLOCK_VOX * K // TILE_L
+    kern = partial(_fuse_kernel, K=K, H=H, W=W, nby=b.nby, nbz=b.nbz,
+                   rect_h=rect_h, rect_w=rect_w,
+                   color_diff_gate=cfg.color_diff_gate,
+                   depth_scale=cfg.depth_scale, group=GD,
+                   lookup="gather", hist_hbm=True, banded=False,
+                   frame_vmem=True, defer_wb=defer_wb,
+                   state_hbm=False, uniform_skip=uniform_skip,
+                   merge_mid=True, mid_h=mid_h, mid_w=mid_w,
+                   pair=True, orig2_off=NB, tab2_off=2 * fh)
+    sspec = pl.BlockSpec((GD, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB // GD,),
+        in_specs=[
+            pl.BlockSpec((64,), lambda i, o: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # paired banded table
+            pl.BlockSpec(memory_space=pl.ANY),  # (unused twin operand)
+            sspec, sspec, sspec,
+            pl.BlockSpec(memory_space=pl.ANY),  # hist: gated true-id DMA
+        ],
+        out_specs=[
+            sspec, sspec, sspec,
+            pl.BlockSpec(memory_space=pl.ANY),  # hist out = aliased in
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(Tpair.shape, jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((NSLOT, GD, HRK, TILE_L), b.hist.dtype),
+            pltpu.SemaphoreType.DMA((NSLOT, GD)),
+            pltpu.VMEM((NSLOT, GD, TILE_S, TILE_L), jnp.float32),
+            pltpu.VMEM((NSLOT, GD, TILE_S, TILE_L), jnp.float32),
+            pltpu.VMEM((NSLOT, GD, TILE_S, TILE_L), jnp.int32),
+            pltpu.SemaphoreType.DMA((3, NSLOT, GD)),
+            # +GD slots: the pair hist-dirty flags (index 4*NSLOT*group+g)
+            pltpu.SMEM(((4 * NSLOT + 1) * GD,), jnp.int32),
+        ],
+    )
+    new_diff, new_cpk, new_wt, new_hist, miss = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        out_shape=[
+            jax.ShapeDtypeStruct(b.diff.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b.colorpk.shape, jnp.float32),
+            jax.ShapeDtypeStruct(b.weight.shape, jnp.int32),
+            jax.ShapeDtypeStruct(b.hist.shape, b.hist.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3},
+        interpret=interpret,
+    )(sp, params_pair, Tpair, Tpair, b.diff, b.colorpk, b.weight, b.hist)
+
+    # pass B, frame order preserved, over the union of excluded blocks:
+    # a block needing B in one frame still needs its OTHER frame's exact
+    # update, and the full-image window computes it for any vis code
+    # (code 3 routes as a full lookup; code 0 commits the identity)
+    arrays = (new_diff, new_cpk, new_wt, new_hist)
+    B2 = min(getattr(cfg, "near_block_budget", 128), NB)
+    miss_b = jnp.zeros((), jnp.int32)
+    over_b = jnp.zeros((), jnp.int32)
+    for origins_f, ff_f, Tf, params_f in ((origins1, ff1, T1, params1),
+                                          (origins2, ff2, T2, params2)):
+        code_f = origins_f & 3
+        codes_bf = jnp.where(ff_f, 1, jnp.where(code_f == 3, 1, code_f))
+        arrays, m_f, o_f = _compacted_pass(
+            arrays, excl, None, (fh, fw), B2, 2,
+            b=b, cfg=cfg, K=K, H=H, W=W, pk1=Tf, pk2=Tf,
+            params=params_f, lookup="gather", defer_wb=defer_wb,
+            uniform_skip=uniform_skip, mid_h=mid_h, mid_w=mid_w,
+            interpret=interpret, codes=codes_bf, fv=False, band=True)
+        miss_b = miss_b + m_f
+        over_b = over_b + o_f
+    new_diff, new_cpk, new_wt, new_hist = arrays
+
+    new_state = b.replace(diff=new_diff, colorpk=new_cpk, weight=new_wt,
+                          hist=new_hist, n_obs=b.n_obs + 2)
+    return new_state, miss[0, 0] + miss_b + over_b * BLOCK_VOX
