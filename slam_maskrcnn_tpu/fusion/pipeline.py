@@ -287,6 +287,25 @@ def fusion_step_pair_blocked_impl(state, d1, c1, m1, e1, d2, c2, m2, e2,
     # frame 2: same (pre-pair) histogram, num_objs chained through 1
     probs2, bm2, ovf2, _clip2 = probe(state, d2, e2)
     m2s = m2[::s, ::s] if cfg.probe_mode == "depth" else m2
+    if getattr(cfg, "pair_probe_boost", True):
+        # inject frame 1's would-be votes (see FusionConfig
+        # .pair_probe_boost): where both frames observe the same surface
+        # at a pixel (adjacent frames; |d1 - d2| <= mu), frame 1's fuse
+        # would have deposited one vote for mask_g1's id at the voxel
+        # frame 2 probes — add that vote and its box-mask bit. Dense
+        # one-hot only (a reprojection would cost ~2 ms of scalar
+        # gathers per frame; association aggregates per-mask log-means
+        # over thousands of pixels, so pixel-level parallax is noise).
+        s2 = s if cfg.probe_mode == "depth" else 1
+        g1 = mask_g1[::s2, ::s2].astype(jnp.int32)
+        d1s = d1[::s2, ::s2].astype(jnp.float32) / cfg.depth_scale
+        d2s = d2[::s2, ::s2].astype(jnp.float32) / cfg.depth_scale
+        near = (d1s > 0) & (d2s > 0) & (jnp.abs(d1s - d2s) <= state.mu)
+        oh = ((g1[..., None] == jnp.arange(cfg.max_objects,
+                                           dtype=jnp.int32))
+              & near[..., None])
+        probs2 = probs2 + oh.astype(probs2.dtype)
+        bm2 = bm2 | oh
     relabel2, num2 = associate_instances(probs2, bm2, m2s,
                                          state.n_obs + 1, num1, cfg)
     mask_g2 = apply_relabel(m2, relabel2)
@@ -297,12 +316,14 @@ def fusion_step_pair_blocked_impl(state, d1, c1, m1, e1, d2, c2, m2, e2,
     return state, (mask_g1, mask_g2), misses + ovf1 + ovf2
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def fuse_pair_sequence_blocked(state, depths, colors, masks,
                                extrinsics2init, intrinsic,
                                cfg: FusionConfig):
     """Paired analog of :func:`fuse_sequence_blocked`: one scan step per
     TWO frames (N must be even). Warm the state with >= 1 sequential
-    frame first (see fusion_step_pair_blocked_impl). Returns
+    frame first (see fusion_step_pair_blocked_impl). State buffers are
+    donated (9.5 GiB at 512^3 — see fuse_sequence_blocked). Returns
     (final_state, relabeled_masks [N, H, W], misses [N//2])."""
     N = depths.shape[0]
     assert N % 2 == 0, f"paired scan needs an even frame count, got {N}"

@@ -263,6 +263,16 @@ class FusionConfig:
     # staleness is confined to shell geometry — the same trade the
     # share_shell=True step already makes for one frame). 1 = every frame.
     shell_refresh_every: int = 1
+    # Paired-frame fusion: the pair-SECOND frame's association probes the
+    # pre-pair histogram (one frame stale — fusion/pipeline.py
+    # fusion_step_pair_blocked_impl). With the boost on, the pair-FIRST
+    # frame's relabeled mask is injected into the second probe as a
+    # depth-gated one-hot vote (same pixel, |d1 - d2| <= mu) — a dense
+    # zero-gather proxy for the votes frame 1's fuse would have deposited
+    # at the probed surface voxels. Fixes the thin-evidence failure mode
+    # (an object FIRST seen at a pair's first frame would otherwise
+    # fresh-id again at its second; tests/test_fuse_pair.py).
+    pair_probe_boost: bool = True
 
     def __post_init__(self):
         if self.splat_row_cap is None:

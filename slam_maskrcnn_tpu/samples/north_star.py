@@ -178,7 +178,16 @@ def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
         return (state, jnp.zeros((H, W, 3), jnp.uint8), mask_g,
                 misses + overflow)
 
-    # ---- render in the loop (viewer.cu orbit camera) ----
+    render = _render_view(state, angle, dist, intrinsic, cfg, H, W,
+                          share_shell, render_mode, rows, cands)
+    return state, render, mask_g, misses + overflow
+
+
+def _render_view(state, angle, dist, intrinsic, cfg: FusionConfig,
+                 H: int, W: int, share_shell: bool, render_mode: str,
+                 rows, cands):
+    """The in-loop render (viewer.cu orbit camera): candidate/shell splat
+    + shade at one orbit angle, reading the CURRENT state."""
     M, m4 = pinhole_of_orbit(angle, dist, intrinsic)
     if cands is not None:
         zbuf, vid = splat_from_candidates(cands, state.vol_start,
@@ -186,7 +195,7 @@ def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
                                           state.nbz, M, m4, H, W,
                                           fill=True)
     else:
-        if not share_shell:
+        if not share_shell or rows is None:
             rows = _compact_shell(state.diff, state.vol_start, state.voxel,
                                   state.nby, state.nbz,
                                   cfg.splat_max_blocks,
@@ -199,12 +208,42 @@ def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
     if render_mode == "splatonly":
         # measurement mode: splat without shading — the headline-vs-this
         # delta is the _shade cost inside the composed frame
-        render = jnp.broadcast_to(
+        return jnp.broadcast_to(
             (vid.reshape(H, W, 1) % 255).astype(jnp.uint8), (H, W, 3))
-    else:
-        render = _shade(zbuf.reshape(H, W), vid.reshape(H, W),
-                        state.colorpk, state.hist, render_mode)
-    return state, render, mask_g, misses + overflow
+    return _shade(zbuf.reshape(H, W), vid.reshape(H, W),
+                  state.colorpk, state.hist, render_mode)
+
+
+def fuse_render_pair_step_impl(state, m1, d1, c1, e1, a1, m2, d2, c2, e2,
+                               a2, intrinsic, dist, cfg: FusionConfig,
+                               H: int, W: int, share_shell: bool = True,
+                               render_mode: str = "instance", cands=None):
+    """Paired-frame north-star step: both frames' associations, ONE
+    paired fuse kernel pass (fusion/pipeline.py
+    fusion_step_pair_blocked_impl — the dense pass's per-frame fixed
+    costs paid once per pair), then BOTH frames' in-loop renders from
+    the post-pair state. Two approximations vs the sequential step,
+    both bounded by tests/test_fuse_pair.py / test_north_star.py:
+    frame 2's association probes the pre-pair histogram (one frame
+    stale), and frame 1's render sees frame 2's fused data (one frame
+    ahead). Requires a warmed state (n_obs >= 1) and
+    probe_mode="depth" (the pair step carries no shared shell).
+
+    Returns (new_state, renders [2, H, W, 3] u8, masks_g [2, H, W],
+    misses)."""
+    from slam_maskrcnn_tpu.fusion.pipeline import (
+        fusion_step_pair_blocked_impl)
+
+    state, (mg1, mg2), misses = fusion_step_pair_blocked_impl(
+        state, d1, c1, m1, e1, d2, c2, m2, e2, intrinsic, cfg)
+    if render_mode == "none":
+        z = jnp.zeros((2, H, W, 3), jnp.uint8)
+        return state, z, jnp.stack([mg1, mg2]), misses
+    r1 = _render_view(state, a1, dist, intrinsic, cfg, H, W,
+                      share_shell, render_mode, None, cands)
+    r2 = _render_view(state, a2, dist, intrinsic, cfg, H, W,
+                      share_shell, render_mode, None, cands)
+    return state, jnp.stack([r1, r2]), jnp.stack([mg1, mg2]), misses
 
 
 def north_star_step_impl(model, params, anchors, nwin, state,
@@ -378,6 +417,66 @@ class NorthStar:
 
         self._chunk_batched = jax.jit(chunk_batched, donate_argnums=(3,))
 
+        def _scan_pair(state, depths, colors, masks, es, K4, angles, dist):
+            """Paired-frame fuse+render scan (N/2 steps over frame
+            pairs): the dense fuse pass's per-frame fixed costs are paid
+            once per pair (fuse_render_pair_step_impl). Carries the same
+            candidate-refresh schedule as _scan_fused, evaluated at the
+            pair's first frame."""
+            N = depths.shape[0]
+
+            def pairify(x):
+                return x.reshape((N // 2, 2) + x.shape[1:])
+
+            xs = tuple(pairify(v) for v in (depths, colors, masks, es,
+                                            angles))
+
+            def pair_step(st, fr, cands=None):
+                d, c, m, e, a = fr
+                return fuse_render_pair_step_impl(
+                    st, m[0], d[0], c[0], e[0], a[0],
+                    m[1], d[1], c[1], e[1], a[1], K4, dist, cfg, H, W,
+                    share_shell, render_mode, cands=cands)
+
+            if refresh <= 1:
+                def body(st, fr):
+                    st, renders, mg, miss = pair_step(st, fr)
+                    return st, (renders, mg, miss)
+
+                state, (renders, mgs, misses) = jax.lax.scan(body, state,
+                                                             xs)
+            else:
+                cands0, ovf0 = _candidates(state, angles[0], dist)
+                idxs = jnp.arange(N // 2, dtype=jnp.int32)
+
+                def body(carry, fr_i):
+                    st, cands = carry
+                    fr, i = fr_i[:-1], fr_i[-1]
+                    a0 = fr[-1][0]  # the pair's first orbit angle
+                    cands, ovf = jax.lax.cond(
+                        ((2 * i) % refresh == 0) & (i > 0),
+                        lambda s: _candidates(s, a0, dist),
+                        lambda _s: (cands, jnp.zeros((), jnp.int32)), st)
+                    ovf = jnp.where(i == 0, ovf0, ovf)
+                    st, renders, mg, miss = pair_step(st, fr, cands=cands)
+                    return (st, cands), (renders, mg, miss + ovf)
+
+                (state, _), (renders, mgs, misses) = jax.lax.scan(
+                    body, (state, cands0), xs + (idxs,))
+            return (state, renders.reshape((N,) + renders.shape[2:]),
+                    mgs.reshape((N,) + mgs.shape[2:]), misses)
+
+        def chunk_batched_pair(params, anchors, nwin, state, depths,
+                               colors, es, K4, angles, dist):
+            masks = detect_mask_batched_impl(model, params, anchors,
+                                             nwin, colors, H, W,
+                                             self.geom, self.mean_pixel)
+            return _scan_pair(state, depths, colors, masks, es, K4,
+                              angles, dist)
+
+        self._chunk_batched_pair = jax.jit(chunk_batched_pair,
+                                           donate_argnums=(3,))
+
     def step(self, state, depth, color_bgr, e2i, angle, dist):
         """One live frame. With cfg.shell_refresh_every > 1 (depth-probe
         mode), the render's candidate set is cached host-side and
@@ -434,3 +533,18 @@ class NorthStar:
                                    self.nwin, state, depths, colors, es,
                                    self.intrinsic, angles,
                                    jnp.asarray(dist, jnp.float32))
+
+    def run_chunk_paired(self, state, depths, colors, es, angles, dist):
+        """run_chunk_batched with the fuse scanned over frame PAIRS
+        (fuse_render_pair_step_impl): one dense kernel pass fuses two
+        frames, halving the pass's per-frame fixed costs. N must be even
+        and the state warmed (n_obs >= 1 — fuse >= 1 frame via step()
+        first; a cold frame-2 association would probe an empty
+        histogram). Approximations vs run_chunk_batched, both bounded by
+        tests: pair-second associations probe a one-frame-stale
+        histogram; pair-first renders see one frame ahead."""
+        assert depths.shape[0] % 2 == 0, "paired chunk needs even N"
+        return self._chunk_batched_pair(self.model.params, self.anchors,
+                                        self.nwin, state, depths, colors,
+                                        es, self.intrinsic, angles,
+                                        jnp.asarray(dist, jnp.float32))

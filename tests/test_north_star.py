@@ -225,3 +225,50 @@ def test_north_star_shell_refresh_amortization():
     for i, r in enumerate(renders_p):
         rc3 = np.asarray(r3[i])
         assert (r != rc3).mean() <= 2e-3, (i, (r != rc3).mean())
+
+
+def test_north_star_paired_chunk_matches_batched():
+    """run_chunk_paired (one dense fuse pass per frame PAIR) vs
+    run_chunk_batched on the synthetic fixture, warmed state: the fused
+    state, global-id masks and per-pair miss sums must be bit-identical
+    (associations agree here — tests/test_fuse_pair.py pins the pairing
+    approximation), and pair-SECOND renders must be bit-identical
+    (pair-first renders legitimately see one frame ahead)."""
+    model, K4, _, state, staged, dist = _setup(n_frames=6)  # 5 staged
+    cfg = FusionConfig(vol_dim=(64,) * 3, hist_dtype=jnp.uint16,
+                       probe_mode="depth", shell_refresh_every=2)
+    ns = NorthStar(model, K4, cfg, 96, 128)
+
+    d0, c0, e0 = staged[0]
+    st_b, _, _, _ = ns.step(jax.tree.map(lambda x: x.copy(), state),
+                            d0, c0, e0, 0.01, dist)
+    st_p = jax.tree.map(lambda x: x.copy(), st_b)
+
+    rest = staged[1:]  # 4 frames -> 2 pairs
+    depths = jnp.stack([s[0] for s in rest])
+    colors = jnp.stack([s[1] for s in rest])
+    es = jnp.stack([s[2] for s in rest])
+    angles = jnp.asarray([0.01 * (i + 2) for i in range(len(rest))],
+                         jnp.float32)
+    st_b, r_b, m_b, mi_b = ns.run_chunk_batched(st_b, depths, colors,
+                                                es, angles, dist)
+    st_p, r_p, m_p, mi_p = ns.run_chunk_paired(st_p, depths, colors,
+                                               es, angles, dist)
+    for f in ("weight", "hist", "colorpk", "diff"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_p, f)), np.asarray(getattr(st_b, f)),
+            err_msg=f"paired chunk state field {f}")
+    np.testing.assert_array_equal(np.asarray(m_p), np.asarray(m_b))
+    mi_b_np = np.asarray(mi_b).reshape(-1, 2).sum(axis=1)
+    np.testing.assert_array_equal(np.asarray(mi_p), mi_b_np)
+    assert r_p.shape == r_b.shape
+    for i in (1, 3):  # pair-second frames: same post-fuse state + cands
+        np.testing.assert_array_equal(
+            np.asarray(r_p[i]), np.asarray(r_b[i]),
+            err_msg=f"pair-second render frame {i}")
+    for i in (0, 2):  # pair-first: one-frame-ahead state, bounded delta
+        # (frame 2's render sees frame 3's fused data; a NEW object
+        # appears at frames 2/3 on this fixture, so its whole footprint
+        # differs — measured 6.6% of pixels at frame 2)
+        frac = (np.asarray(r_p[i]) != np.asarray(r_b[i])).mean()
+        assert frac <= 0.09, (i, frac)
