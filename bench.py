@@ -52,17 +52,21 @@ def _stage(name):
     print(f"[bench] {name}...", file=sys.stderr, flush=True)
 
 
-def bench_fusion(vol, n_frames, H=480, W=640, **cfg_kw):
+def bench_fusion(vol, n_frames, H=480, W=640, pair=False, **cfg_kw):
     """Steady-state fused frames/sec via the scan throughput path
     (fuse_sequence_blocked: one dispatch per n_frames chunk, one readback
     — the reference's <=100-frame workload shape). Also returns the
-    per-call dispatch rate as a secondary number."""
+    per-call dispatch rate as a secondary number. With pair=True the
+    chunk additionally runs the paired-kernel form
+    (fuse_pair_sequence_blocked: one dense pass per TWO frames) and its
+    fps is appended to the return tuple."""
     import jax
     import jax.numpy as jnp
 
     from slam_maskrcnn_tpu.data.synthetic import default_scene, make_sequence
     from slam_maskrcnn_tpu.fusion import FusionConfig
-    from slam_maskrcnn_tpu.fusion.pipeline import (fuse_sequence_blocked,
+    from slam_maskrcnn_tpu.fusion.pipeline import (fuse_pair_sequence_blocked,
+                                                   fuse_sequence_blocked,
                                                    fusion_step_blocked)
     from slam_maskrcnn_tpu.fusion.state import make_intrinsic
     from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
@@ -115,8 +119,24 @@ def bench_fusion(vol, n_frames, H=480, W=640, **cfg_kw):
         chk = float(jnp.sum(state.weight)
                     + jnp.sum(masks_g).astype(jnp.float32))
         best_dt = min(best_dt, time.time() - t0)
-    return (2 * n_frames / best_dt, int(jnp.sum(misses)), percall_fps,
-            (state, Kj, cfg, frames[0]))
+    out = (2 * n_frames / best_dt, int(jnp.sum(misses)), percall_fps,
+           (state, Kj, cfg, frames[0]))
+    if not pair:
+        return out
+    state, masks_g, misses_p = fuse_pair_sequence_blocked(state, *stack,
+                                                          Kj, cfg)
+    _ = float(jnp.sum(state.weight))
+    best_p = float("inf")
+    for _i in range(3):
+        t0 = time.time()
+        state, masks_g, misses_p = fuse_pair_sequence_blocked(
+            state, *stack, Kj, cfg)
+        state, masks_g, misses_p = fuse_pair_sequence_blocked(
+            state, *stack, Kj, cfg)
+        chk = float(jnp.sum(state.weight)
+                    + jnp.sum(masks_g).astype(jnp.float32))
+        best_p = min(best_p, time.time() - t0)
+    return out + (2 * n_frames / best_p, int(jnp.sum(misses_p)))
 
 
 def bench_raycast(state, Kj, cfg, H=480, W=640, n=20):
@@ -273,14 +293,17 @@ def bench_north_star(model_pack, n_frames=16, H=480, W=640):
         best_det = min(best_det, time.time() - t0)
     detect_batched_ms = best_det / (2 * n_frames) * 1000.0
 
-    # headline form: the batched chunk — detect hoisted out of the scan
+    # headline form: the PAIRED chunk — detect hoisted out of the scan
     # as ONE model apply at batch n_frames (detect_mask_batched_impl;
     # batch sweep r4: 26.2 (B=1) / 20.9 (4) / 18.6 (6) / 15.0 (8) /
     # 16.9 (12) / 14.1 ms/frame (B=16) — 8/16 beat 12, XLA pads the
-    # conv batch dim to the next tile multiple), fuse +
-    # render scanned over the precomputed masks. Same latency class as
-    # the chunk itself (holds n_frames before fusing).
-    state, renders, masks_g, misses = ns.run_chunk_batched(
+    # conv batch dim to the next tile multiple), fuse + render scanned
+    # over frame PAIRS (fuse_render_pair_step_impl: one dense kernel
+    # pass fuses two frames, halving per-pass fixed costs — fuse-only
+    # 24.6 -> 21.5 ms/frame measured r4; association outcome preserved
+    # by pair_probe_boost, tests/test_fuse_pair.py). Same latency class
+    # as the chunk itself (holds n_frames before fusing).
+    state, renders, masks_g, misses = ns.run_chunk_paired(
         state, depths, colors, es, angles, dist)
     _ = float(jnp.sum(state.weight))
     best_dt = float("inf")
@@ -289,39 +312,58 @@ def bench_north_star(model_pack, n_frames=16, H=480, W=640):
         # bench_fusion) — renders/masks stay device-resident, their
         # computation is forced through the state dependence + the sum
         t0 = time.time()
-        state, renders, masks_g, misses = ns.run_chunk_batched(
+        state, renders, masks_g, misses = ns.run_chunk_paired(
             state, depths, colors, es, angles, dist)
-        state, renders, masks_g, misses = ns.run_chunk_batched(
+        state, renders, masks_g, misses = ns.run_chunk_paired(
             state, depths, colors, es, angles, dist)
         chk = float(jnp.sum(state.weight)
                     + jnp.sum(renders).astype(jnp.float32)
                     + jnp.sum(masks_g).astype(jnp.float32))
         best_dt = min(best_dt, time.time() - t0)
-    batched_fps = 2 * n_frames / best_dt
+    headline_fps = 2 * n_frames / best_dt
     miss_total = int(jnp.sum(misses))
 
-    # render A/B: the SAME batched chunk with render_mode="none" —
+    # secondary: the unpaired batched chunk (one fuse pass per frame) —
+    # the headline form of r3/r4a, kept as the paired form's A/B
+    state, renders, masks_g, misses_b = ns.run_chunk_batched(
+        state, depths, colors, es, angles, dist)
+    _ = float(jnp.sum(state.weight))
+    best_b = float("inf")
+    for _i in range(2):
+        t0 = time.time()
+        state, renders, masks_g, misses_b = ns.run_chunk_batched(
+            state, depths, colors, es, angles, dist)
+        state, renders, masks_g, misses_b = ns.run_chunk_batched(
+            state, depths, colors, es, angles, dist)
+        chk = float(jnp.sum(state.weight)
+                    + jnp.sum(renders).astype(jnp.float32)
+                    + jnp.sum(masks_g).astype(jnp.float32))
+        best_b = min(best_b, time.time() - t0)
+    batched_fps = 2 * n_frames / best_b
+    miss_total = max(miss_total, int(jnp.sum(misses_b)))
+
+    # render A/B: the SAME paired chunk with render_mode="none" —
     # candidate refresh, probe, association and fuse all still run
-    # (samples/north_star.py fuse_render_step_impl), so the headline-vs-
-    # none fps delta is the composed in-loop render cost (candidate
-    # re-projection splat + shade), free of the ~3.5 ms/jit relay
-    # dispatch constant that inflates isolated stage timings
+    # (samples/north_star.py fuse_render_pair_step_impl), so the
+    # headline-vs-none fps delta is the composed in-loop render cost
+    # (candidate re-projection splat + shade), free of the ~3.5 ms/jit
+    # relay dispatch constant that inflates isolated stage timings
     ns_none = NorthStar(model, K4, cfg, H, W, render_mode="none")
-    state, renders0, _m0, _mi0 = ns_none.run_chunk_batched(
+    state, renders0, _m0, _mi0 = ns_none.run_chunk_paired(
         state, depths, colors, es, angles, dist)
     _ = float(jnp.sum(state.weight))
     best_none = float("inf")
     for _i in range(3):
         t0 = time.time()
-        state, renders0, m0, mi0 = ns_none.run_chunk_batched(
+        state, renders0, m0, mi0 = ns_none.run_chunk_paired(
             state, depths, colors, es, angles, dist)
-        state, renders0, m0, mi0 = ns_none.run_chunk_batched(
+        state, renders0, m0, mi0 = ns_none.run_chunk_paired(
             state, depths, colors, es, angles, dist)
         chk = float(jnp.sum(state.weight)
                     + jnp.sum(m0).astype(jnp.float32))
         best_none = min(best_none, time.time() - t0)
     none_fps = 2 * n_frames / best_none
-    render_ms = max(1000.0 / batched_fps - 1000.0 / none_fps, 0.0)
+    render_ms = max(1000.0 / headline_fps - 1000.0 / none_fps, 0.0)
 
     # per-frame-detect chunk (the scan with detect inside — the form a
     # strict one-frame-latency pipeline would scan), kept as a secondary
@@ -340,7 +382,7 @@ def bench_north_star(model_pack, n_frames=16, H=480, W=640):
                     + jnp.sum(masks_g).astype(jnp.float32))
         best_dt = min(best_dt, time.time() - t0)
     scan_fps = 2 * n_frames / best_dt
-    return (batched_fps, scan_fps, percall_fps,
+    return (headline_fps, batched_fps, scan_fps, percall_fps,
             max(miss_total, int(jnp.sum(misses))), detect_batched_ms,
             render_ms)
 
@@ -460,14 +502,20 @@ def main():
         # outcome identical on goldens, ~14 ms cheaper than the splat
         # probe); the 256^3 row above keeps the reference-faithful splat
         # probe.
-        fps512, miss512, percall512, pack = bench_fusion(
-            512, 12, splat_max_blocks=8192, splat_max_surface=1024 * 1024,
+        (fps512, miss512, percall512, pack,
+         fps512p, miss512p) = bench_fusion(
+            512, 12, pair=True,
+            splat_max_blocks=8192, splat_max_surface=1024 * 1024,
             splat_max_rows=49152, near_block_budget=512,
             pallas_rect=(48, 256), pallas_rect_mid=(128, 384),
             mid_block_budget=1024, probe_mode="depth", probe_stride=2,
             pallas_group=32)
         extra["fused_fps_512"] = round(fps512, 3)
         extra["rect_misses_512"] = miss512
+        # the paired-kernel form (one dense pass per two frames) — the
+        # fuse configuration the north-star headline scans
+        extra["fused_fps_512_pair"] = round(fps512p, 3)
+        extra["rect_misses_512_pair"] = miss512p
         del pack
     except Exception:
         traceback.print_exc()
@@ -498,19 +546,21 @@ def main():
     ns_fps = None
     try:
         if model_pack is not None:
-            (ns_fps, ns_scan, ns_percall, ns_miss,
+            (ns_fps, ns_batched, ns_scan, ns_percall, ns_miss,
              det_b_ms, render_ms) = bench_north_star(model_pack)
+            extra["north_star_batched_fps"] = round(ns_batched, 2)
             extra["north_star_scan_fps"] = round(ns_scan, 2)
             extra["north_star_percall_fps"] = round(ns_percall, 2)
             extra["north_star_misses"] = ns_miss
             extra["detect_batched_ms"] = round(det_b_ms, 1)
-            # stage table of the HEADLINE (batched-chunk) form: detect =
+            # stage table of the HEADLINE (paired-chunk) form: detect =
             # the measured one-apply-per-chunk batched slice, fuse from
-            # the 512^3 chunked row, render_rest = the remainder of the
-            # headline frame time (in-loop candidate render + probe +
-            # association + scan overhead)
+            # the 512^3 PAIRED chunked row, render_rest = the remainder
+            # of the headline frame time (in-loop candidate render +
+            # probe + association + scan overhead)
             if "fused_fps_512" in extra:
-                fuse_ms = 1000.0 / extra["fused_fps_512"]
+                fuse_ms = 1000.0 / extra.get("fused_fps_512_pair",
+                                             extra["fused_fps_512"])
                 rest = 1000.0 / ns_fps - fuse_ms - det_b_ms
                 extra["ns_stage_ms"] = {
                     "detect": round(det_b_ms, 1),
