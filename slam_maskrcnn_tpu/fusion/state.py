@@ -213,6 +213,11 @@ class FusionConfig:
     # pin the floor to per-step streaming/pipeline structure. Kept
     # (tested, bit-exact) as the measurement's executable record.
     pallas_visit_compact: bool = False
+    # measurement-only: named pieces of the fuse kernel's visible-block
+    # update body replaced by pass-throughs ("hist", "color", "blend") so
+    # their cost can be read off a live A/B. WRONG MATH when non-empty;
+    # never set in production configs (see _fuse_kernel's ablate arg).
+    pallas_ablate: tuple = ()
     # splat probe/renderer compaction budgets: blocks holding surface, and
     # visible surface voxels kept for the z-buffer scatters. Scatter cost
     # scales with these STATIC sizes (measured 256^3 step: 326 ms at

@@ -568,7 +568,13 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  merge_mid: bool = False, mid_h: int = 0, mid_w: int = 0,
                  visit_compact: bool = False, cnt_off: int = 0,
                  lanes_off: int = 0, pair: bool = False,
-                 orig2_off: int = 0, tab2_off: int = 0):
+                 orig2_off: int = 0, tab2_off: int = 0,
+                 ablate: tuple = ()):
+    # ablate (measurement only, cfg.pallas_ablate): named pieces of the
+    # visible-block update body replaced by pass-throughs so their cost
+    # can be read off a live A/B — "hist" (instance-histogram update),
+    # "color" (color blend), "blend" (diff/weight blend). WRONG MATH when
+    # non-empty; never set in production configs.
     # merge_mid (frame_vmem only): blocks whose footprint exceeds the
     # pass-A rect but fits (mid_h, mid_w) carry vis code 3 with MID
     # origins in the same table slots, and fuse here through a
@@ -1192,34 +1198,40 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                         m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
 
                         wt = w_in().astype(jnp.float32)
-                        new_diff = jnp.where(valid,
-                                             (d_in() * wt + dn) / (wt + 1.0),
-                                             d_in())
+                        if "blend" in ablate:   # measurement pass-through
+                            new_diff = None
+                        else:
+                            new_diff = jnp.where(
+                                valid, (d_in() * wt + dn) / (wt + 1.0),
+                                d_in())
 
                         # color: integer truncating blend per byte, exact f32
-                        cpk = c_in()
-                        cb = jnp.mod(cpk, 256.0)
-                        cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
-                        cr = jnp.floor(cpk / 65536.0)
-                        nb_ = jnp.mod(val2, 256.0)
-                        ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
-                        nr = jnp.floor(val2 / 65536.0)
-                        wtp1 = wt + 1.0
+                        if "color" in ablate:   # measurement pass-through
+                            new_cpk = None
+                        else:
+                            cpk = c_in()
+                            cb = jnp.mod(cpk, 256.0)
+                            cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
+                            cr = jnp.floor(cpk / 65536.0)
+                            nb_ = jnp.mod(val2, 256.0)
+                            ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
+                            nr = jnp.floor(val2 / 65536.0)
+                            wtp1 = wt + 1.0
 
-                        # floor of an f32 division can land one above the true
-                        # integer quotient when the ratio sits just under an
-                        # integer; correct it so the blend matches the
-                        # reference's integer truncation exactly.
-                        def idiv(a, den):
-                            q = jnp.floor(a / den)
-                            return q - (q * den > a).astype(jnp.float32)
+                            # floor of an f32 division can land one above the
+                            # true integer quotient when the ratio sits just
+                            # under an integer; correct it so the blend
+                            # matches the reference's integer truncation
+                            # exactly.
+                            def idiv(a, den):
+                                q = jnp.floor(a / den)
+                                return q - (q * den > a).astype(jnp.float32)
 
-                        ub = idiv(cb * wt + nb_, wtp1)
-                        ug = idiv(cg * wt + ng, wtp1)
-                        ur = idiv(cr * wt + nr, wtp1)
-                        new_cpk = jnp.where(gate,
-                                            ub + ug * 256.0 + ur * 65536.0,
-                                            cpk)
+                            ub = idiv(cb * wt + nb_, wtp1)
+                            ug = idiv(cg * wt + ng, wtp1)
+                            ur = idiv(cr * wt + nr, wtp1)
+                            new_cpk = jnp.where(
+                                gate, ub + ug * 256.0 + ur * 65536.0, cpk)
 
                         # histogram in the row-native layout: replicate each
                         # s-row of (m, gate) to its hist rows on the MXU
@@ -1230,13 +1242,22 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                         any_gate = jnp.any(gate)
 
                         def _hist_update(h_in):
-                            m2 = jnp.dot(rsel, m_clip.astype(jnp.bfloat16),
-                                         preferred_element_type=jnp.float32)
-                            g2 = jnp.dot(rsel, gate.astype(jnp.bfloat16),
-                                         preferred_element_type=jnp.float32)
-                            m_exp = jnp.take_along_axis(m2, lane_src, axis=1)
-                            g_exp = jnp.take_along_axis(g2, lane_src, axis=1)
-                            oh = (m_exp == k_lane) & (g_exp > 0.5)
+                            # ONE packed replication matmul + ONE lane
+                            # gather: val = m + K*gate <= 2K-1 (63) is
+                            # bf16-exact and the rsel matmul sums exactly
+                            # one term, so the pack survives both hops;
+                            # gated lanes decode as val - K == k. The
+                            # take_along over [HR, 128] was the hist
+                            # update's dominant cost (the r4 ablation put
+                            # hist at ~2.7 ms/frame at 512^3) — halving
+                            # the matmul+gather count halves it.
+                            mg = (m_clip
+                                  + gate.astype(jnp.int32) * K)
+                            mg2 = jnp.dot(rsel, mg.astype(jnp.bfloat16),
+                                          preferred_element_type=jnp.float32)
+                            mg_exp = jnp.take_along_axis(mg2, lane_src,
+                                                         axis=1)
+                            oh = mg_exp == k_lane + jnp.float32(K)
                             if hdt == jnp.uint8:
                                 # u8 counts saturate instead of wrapping
                                 # (exact for <= 255 fused frames — the
@@ -1249,7 +1270,10 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                                 return (h32 + oh32).astype(hdt)
                             return h_in + oh.astype(hdt)
 
-                        if hist_hbm and pair:
+                        if "hist" in ablate:    # measurement pass-through
+                            if not hist_hbm:
+                                hist_out[g] = hist_ref[g]
+                        elif hist_hbm and pair:
                             # pair: both frames update the staging slot
                             # in place; ONE write-back fires after frame
                             # 2 if either frame dirtied it (_block_body)
@@ -1281,7 +1305,8 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                                 hist_out[g] = hist_ref[g]
 
                         commit(dv=new_diff, cv=new_cpk,
-                               wv=w_in() + valid.astype(jnp.int32))
+                               wv=(None if "blend" in ablate
+                                   else w_in() + valid.astype(jnp.int32)))
 
                 if frame_vmem:
                     # Tight-window specialization: the window read, the
@@ -1512,6 +1537,7 @@ def _compacted_pass(state_arrays, flags, origs, rect, budget, grp, *,
                      coords="smem", lookup=lookup, hist_hbm=hist_hbm,
                      banded=band, frame_vmem=fv, state_hbm=st_hbm,
                      defer_wb=defer_wb,
+                     ablate=tuple(getattr(cfg, "pallas_ablate", ())),
                      uniform_skip=uniform_skip,
                      merge_mid=merge, mid_h=mid_h, mid_w=mid_w)
     hist_spec = (pl.BlockSpec(memory_space=pl.ANY) if hist_hbm
@@ -1720,6 +1746,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                        lookup=lookup, hist_hbm=True, banded=banded,
                        frame_vmem=frame_vmem, defer_wb=defer_wb,
                        state_hbm=False, uniform_skip=uniform_skip,
+                       ablate=tuple(getattr(cfg, "pallas_ablate", ())),
                        compact=True, ids_off=ids_off,
                        merge_mid=merge_mid, mid_h=mid_h, mid_w=mid_w)
         sspec = pl.BlockSpec((CG, TILE_S, TILE_L),
@@ -1825,6 +1852,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                        lookup=lookup, hist_hbm=True, banded=banded,
                        frame_vmem=frame_vmem, defer_wb=defer_wb,
                        state_hbm=state_hbm, uniform_skip=uniform_skip,
+                       ablate=tuple(getattr(cfg, "pallas_ablate", ())),
                        merge_mid=merge_mid, mid_h=mid_h, mid_w=mid_w,
                        **vc_kw)
 
@@ -2074,6 +2102,7 @@ def fuse_frames2_blocked_impl(b: BlockedTSDFState, depth1, color1, mask1,
                    lookup="gather", hist_hbm=True, banded=False,
                    frame_vmem=True, defer_wb=defer_wb,
                    state_hbm=False, uniform_skip=uniform_skip,
+                   ablate=tuple(getattr(cfg, "pallas_ablate", ())),
                    merge_mid=True, mid_h=mid_h, mid_w=mid_w,
                    pair=True, orig2_off=NB, tab2_off=2 * fh)
     sspec = pl.BlockSpec((GD, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
