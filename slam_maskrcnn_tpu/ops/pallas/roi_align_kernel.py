@@ -43,9 +43,21 @@ from slam_maskrcnn_tpu.ops.roi_align import roi_level
 
 RECT = 48          # rect side in cells (covers routed boxes of aspect <= 4)
 GROUP = 8          # ROIs per grid step
+# DMA window tiers (rows, cols), smallest first; the last MUST be
+# (RECT, RECT). FPN routing bounds sqrt(h*w) to ~7-14 cells at the
+# assigned level, so an aspect<=1.3 box fits (16, 24) (cols carry up to
+# 7 cells of 8-alignment slack) and the full rect moves only for
+# elongated/P5-clamped boxes: the per-ROI copy is the kernel's
+# bandwidth bound (48x48x256 bf16 = 1.2 MB), and the tier cuts it 6x
+# for the common case. Stale scratch outside a tier window is harmless:
+# the hat weights vanish beyond the tier rows/cols whenever the tier
+# fits (prep guarantees it), and step 0 zero-fills the scratch so the
+# dead region can never hold NaN bits (0 * NaN would poison the MXU
+# accumulation).
+TIERS = ((16, 24), (32, 32), (RECT, RECT))
 
 
-def _roi_align_kernel(origins_ref,   # SMEM i32 [Ng*3]: (level, y0, x0)
+def _roi_align_kernel(origins_ref,   # SMEM i32 [Ng*3]: (lvl+4*tier, y0, x0)
                       scal_ref,      # SMEM f32 [Ng*8]: ys0 xs0 sy sx hl1 wl1
                       l0, l1, l2, l3,  # HBM [Hp, Wp, C] feature levels
                       out_ref,       # VMEM [G, PR, C]
@@ -58,17 +70,23 @@ def _roi_align_kernel(origins_ref,   # SMEM i32 [Ng*3]: (level, y0, x0)
     @pl.when(step == 0)
     def _():
         miss_ref[0, 0] = 0
+        # zero the rect scratch ONCE: tiered copies leave the window's
+        # complement stale, and step 0's "stale" is uninitialized VMEM —
+        # finite zeros make the zero-weight dead region exactly dead
+        rect[...] = jnp.zeros((GROUP, RECT, RECT, C), rect.dtype)
 
     for g in range(GROUP):
         r = step * GROUP + g
         y0 = origins_ref[r * 3 + 1]
         x0 = pl.multiple_of(origins_ref[r * 3 + 2], 8)
         for li in range(4):
-            @pl.when(origins_ref[r * 3] == li)
-            def _(li=li, g=g, y0=y0, x0=x0):
-                pltpu.make_async_copy(
-                    levels[li].at[pl.ds(y0, RECT), pl.ds(x0, RECT), :],
-                    rect.at[g], sems.at[g]).start()
+            for ti, (th, tw) in enumerate(TIERS):
+                @pl.when(origins_ref[r * 3] == li + 4 * ti)
+                def _(li=li, g=g, y0=y0, x0=x0, th=th, tw=tw):
+                    pltpu.make_async_copy(
+                        levels[li].at[pl.ds(y0, th), pl.ds(x0, tw), :],
+                        rect.at[g, pl.ds(0, th), pl.ds(0, tw)],
+                        sems.at[g]).start()
 
     PR = p_pad * p_pad
     RHW = RECT * RECT
@@ -115,11 +133,13 @@ def _roi_align_kernel(origins_ref,   # SMEM i32 [Ng*3]: (level, y0, x0)
         y0 = origins_ref[r * 3 + 1]
         x0 = pl.multiple_of(origins_ref[r * 3 + 2], 8)
         for li in range(4):
-            @pl.when(origins_ref[r * 3] == li)
-            def _(li=li, g=g, y0=y0, x0=x0):
-                pltpu.make_async_copy(
-                    levels[li].at[pl.ds(y0, RECT), pl.ds(x0, RECT), :],
-                    rect.at[g], sems.at[g]).wait()
+            for ti, (th, tw) in enumerate(TIERS):
+                @pl.when(origins_ref[r * 3] == li + 4 * ti)
+                def _(li=li, g=g, y0=y0, x0=x0, th=th, tw=tw):
+                    pltpu.make_async_copy(
+                        levels[li].at[pl.ds(y0, th), pl.ds(x0, tw), :],
+                        rect.at[g, pl.ds(0, th), pl.ds(0, tw)],
+                        sems.at[g]).wait()
         rg = rect[g].reshape(RHW, C)
         out_ref[g] = jnp.dot(w2.astype(rg.dtype), rg,
                              preferred_element_type=jnp.float32)
@@ -183,10 +203,24 @@ def pyramid_roi_align_pallas(features, boxes: jax.Array, pool_size: int,
     x0 = jnp.floor(x_lo).astype(jnp.int32)
     x0 = jnp.clip(x0 - (x0 % 8), 0, wp - RECT)
 
+    # DMA tier: the hat weights touch window rows [0, floor(y_hi)+2-y0)
+    # and cols [0, floor(x_hi)+2-x0) — pick the smallest TIERS entry that
+    # contains them (the last always does; beyond-RECT boxes clamp and
+    # count misses exactly as before)
+    y_hi = jnp.maximum(ys0, ys0 + sy * (pool_size - 1))
+    x_hi = jnp.maximum(xs0, xs0 + sx * (pool_size - 1))
+    y_need = jnp.floor(y_hi).astype(jnp.int32) + 2 - y0
+    x_need = jnp.floor(x_hi).astype(jnp.int32) + 2 - x0
+    tier = jnp.full_like(y0, len(TIERS) - 1)
+    for ti in range(len(TIERS) - 2, -1, -1):
+        th, tw = TIERS[ti]
+        tier = jnp.where((y_need <= th) & (x_need <= tw), ti, tier)
+
     n_pad = (N + GROUP - 1) // GROUP * GROUP
     def padn(a):
         return jnp.pad(a, (0, n_pad - N))
-    origins = jnp.stack([padn(li), padn(y0), padn(x0)], -1).reshape(-1)
+    origins = jnp.stack([padn(li + 4 * tier), padn(y0), padn(x0)],
+                        -1).reshape(-1)
     scal = jnp.stack([padn(ys0), padn(xs0), padn(sy), padn(sx),
                       padn(hl1), padn(wl1),
                       jnp.zeros(n_pad), jnp.zeros(n_pad)],
