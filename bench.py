@@ -216,6 +216,14 @@ def bench_north_star(model_pack, n_frames=16, H=480, W=640):
     # The bench's detect_ms row keeps the reference 100-slot config.
     class NSConfig(type(ref_model.config)):
         DETECTION_MAX_INSTANCES = 32
+        # rect molding (models/config.py IMAGE_RESIZE_MODE="rect"): a
+        # 640x480 sensor frame fits 768x1024 with ZERO padding vs 25%
+        # dead conv rows in the square-1024^2 mold. Measured batched
+        # detect slice (B=16, r5): square 12.84 -> rect 11.65 ms/frame.
+        # The bench's detect_ms row keeps the reference-faithful square
+        # mold; parity re-gated in rect mode (tools/parity_gate.py).
+        IMAGE_RESIZE_MODE = "rect"
+        IMAGE_RECT_SHAPE = (768, 1024)
 
     model = MaskRCNN("inference", NSConfig())
     model.params = variables
@@ -365,6 +373,43 @@ def bench_north_star(model_pack, n_frames=16, H=480, W=640):
     none_fps = 2 * n_frames / best_none
     render_ms = max(1000.0 / headline_fps - 1000.0 / none_fps, 0.0)
 
+    # ---- roofline / MFU accounting (VERDICT r4 #8) ----
+    # XLA's own cost model on the exact compiled executables, divided by
+    # the measured per-frame times; detect cross-checked analytically
+    # (tools/roofline.py). Failures degrade to absent keys, never break
+    # the bench.
+    roof = {}
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.roofline import (detect_flops_analytic, fuse_bytes_analytic,
+                                    utilization, xla_cost)
+        fl_d, by_d = xla_cost(det_b, model.params, ns.anchors, ns.nwin,
+                              colors)
+        mh, mw = ns.geom[4], ns.geom[5]
+        fl_d_an = detect_flops_analytic(mh, mw, "resnet101")
+        if fl_d:
+            u = utilization(fl_d / n_frames, by_d / n_frames,
+                            detect_batched_ms)
+            if u:
+                roof["detect"] = dict(u, flops_g=round(fl_d / n_frames / 1e9,
+                                                       1),
+                                      flops_g_analytic=round(fl_d_an / 1e9,
+                                                             1))
+        # whole composed north-star chunk (detect+prep+probe+assoc+fuse+
+        # render): the honest end-to-end utilization statement
+        fl_c, by_c = xla_cost(ns._chunk_batched_pair, model.params,
+                              ns.anchors, ns.nwin, state, depths, colors,
+                              es, ns.intrinsic, angles,
+                              jnp.asarray(dist, jnp.float32))
+        if fl_c:
+            u = utilization(fl_c / n_frames, by_c / n_frames,
+                            1000.0 / headline_fps)
+            if u:
+                roof["chunk"] = dict(u, flops_g=round(fl_c / n_frames / 1e9,
+                                                      1))
+    except Exception:
+        traceback.print_exc()
+
     # per-frame-detect chunk (the scan with detect inside — the form a
     # strict one-frame-latency pipeline would scan), kept as a secondary
     state, renders, masks_g, misses = ns.run_chunk(state, depths, colors,
@@ -384,7 +429,7 @@ def bench_north_star(model_pack, n_frames=16, H=480, W=640):
     scan_fps = 2 * n_frames / best_dt
     return (headline_fps, batched_fps, scan_fps, percall_fps,
             max(miss_total, int(jnp.sum(misses))), detect_batched_ms,
-            render_ms)
+            render_ms, roof)
 
 
 def bench_e2e(model_pack, n_frames=16, H=480, W=640):
@@ -547,7 +592,29 @@ def main():
     try:
         if model_pack is not None:
             (ns_fps, ns_batched, ns_scan, ns_percall, ns_miss,
-             det_b_ms, render_ms) = bench_north_star(model_pack)
+             det_b_ms, render_ms, roof) = bench_north_star(model_pack)
+            # fuse-stage roofline: XLA's cost model cannot see inside the
+            # Pallas kernel's manual DMAs — analytic state-stream bytes
+            # (tools/roofline.py); the kernel is visit/latency-bound, not
+            # HBM-bound (PERFORMANCE.md r4e)
+            try:
+                from tools.roofline import fuse_bytes_analytic, utilization
+                fuse_fps = extra.get("fused_fps_512_pair",
+                                     extra.get("fused_fps_512"))
+                if fuse_fps:
+                    u = utilization(0.0, fuse_bytes_analytic(512),
+                                    1000.0 / fuse_fps)
+                    if u:
+                        roof["fuse_512"] = {"gbps": u["gbps"],
+                                            "hbm_util": u["hbm_util"]}
+            except Exception:
+                traceback.print_exc()
+            if roof:
+                extra["roofline"] = roof
+                if "detect" in roof:
+                    extra["mfu_detect"] = roof["detect"]["mfu"]
+                if "fuse_512" in roof:
+                    extra["hbm_util_fuse"] = roof["fuse_512"]["hbm_util"]
             extra["north_star_batched_fps"] = round(ns_batched, 2)
             extra["north_star_scan_fps"] = round(ns_scan, 2)
             extra["north_star_percall_fps"] = round(ns_percall, 2)

@@ -233,8 +233,15 @@ def fusion_step_blocked_impl(state, depth, color, mask, extrinsic2init,
 
 
 def fusion_step_pair_blocked_impl(state, d1, c1, m1, e1, d2, c2, m2, e2,
-                                  intrinsic, cfg: FusionConfig):
+                                  intrinsic, cfg: FusionConfig,
+                                  prep=None):
     """Two-frame fusion step (the paired-kernel throughput form).
+
+    `prep` (optional): both frames' pair_prep_static outputs — the
+    state-independent kernel prep (banded tables sans mask bits,
+    origins, pass-B flags, camera params), precomputed BATCHED over a
+    whole chunk by the north-star driver so the scan body only injects
+    the relabeled masks (PERFORMANCE.md r5).
 
     BOTH frames' associations probe the PRE-pair histogram — frame 2's
     votes are one frame stale vs the reference's strictly sequential
@@ -311,8 +318,17 @@ def fusion_step_pair_blocked_impl(state, d1, c1, m1, e1, d2, c2, m2, e2,
     mask_g2 = apply_relabel(m2, relabel2)
 
     state = state.replace(num_objs=num2)
-    state, misses = fuse_frames2_blocked_impl(
-        state, d1, c1, mask_g1, e1, d2, c2, mask_g2, e2, intrinsic, cfg)
+    if prep is not None:
+        from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+            fuse_frames2_blocked_prepped, inject_mask_banded)
+        (T1p, o1, ff1, p1), (T2p, o2, ff2, p2) = prep
+        state, misses = fuse_frames2_blocked_prepped(
+            state, (inject_mask_banded(T1p, mask_g1), o1, ff1, p1),
+            (inject_mask_banded(T2p, mask_g2), o2, ff2, p2), H, W, cfg)
+    else:
+        state, misses = fuse_frames2_blocked_impl(
+            state, d1, c1, mask_g1, e1, d2, c2, mask_g2, e2, intrinsic,
+            cfg)
     return state, (mask_g1, mask_g2), misses + ovf1 + ovf2
 
 

@@ -355,15 +355,13 @@ def select_candidates(rows, M, m4, row_cap: int):
         rows["n_rows"] - px.shape[0], 0) * L, clip
 
 
-def splat_from_candidates(codes, vol_start, voxel, nby: int, nbz: int,
-                          M, m4, H, W, fill: bool = True):
-    """Render-phase splat over a precomputed candidate code set
-    ([N] i32, -1 empty): decode codes to world positions arithmetically,
-    project with the CURRENT camera, packed-key scatter-min, hole fill.
-    Returns (zbuf [H*W], vid [H*W]) — same contract as _splat_from_rows'
-    first two outputs."""
-    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (BLOCK_VOX, BX, BY,
-                                                          BZ)
+def decode_candidates(codes, vol_start, voxel, nby: int, nbz: int):
+    """Camera-independent half of splat_from_candidates: candidate codes
+    -> world positions (px, py, pz, valid). The north-star chunk hoists
+    this ONCE per refresh segment (the decode is invariant between
+    candidate refreshes; only the projection is per-frame) instead of
+    re-deriving ~1M positions inside every scanned frame."""
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import BX, BY, BZ
     S_L = 16 * 128
     ok0 = codes >= 0
     csafe = jnp.maximum(codes, 0)
@@ -378,6 +376,21 @@ def splat_from_candidates(codes, vol_start, voxel, nby: int, nbz: int,
     px = vol_start[0] + (bxf * BX + dx) * voxel[0]
     py = vol_start[1] + (byf * BY + dy) * voxel[1]
     pz = vol_start[2] + (bzf * BZ + dz) * voxel[2]
+    return px, py, pz, ok0
+
+
+def splat_from_candidates(codes, vol_start, voxel, nby: int, nbz: int,
+                          M, m4, H, W, fill: bool = True, decoded=None):
+    """Render-phase splat over a precomputed candidate code set
+    ([N] i32, -1 empty): decode codes to world positions arithmetically,
+    project with the CURRENT camera, packed-key scatter-min, hole fill.
+    `decoded` (optional): a precomputed decode_candidates(...) tuple —
+    pass it when the same candidate set renders several frames.
+    Returns (zbuf [H*W], vid [H*W]) — same contract as _splat_from_rows'
+    first two outputs."""
+    if decoded is None:
+        decoded = decode_candidates(codes, vol_start, voxel, nby, nbz)
+    px, py, pz, ok0 = decoded
 
     sx = M[0, 0] * px + M[0, 1] * py + M[0, 2] * pz + m4[0]
     sy = M[1, 0] * px + M[1, 1] * py + M[1, 2] * pz + m4[1]
@@ -484,12 +497,15 @@ def _splat_render_jit(diff, colorpk, hist, vol_start, voxel, M, m4,
                   mode)
 
 
-def _shade(zb2, vd2, colorpk, hist, mode: str):
-    """Shade a decoded (z, winner-voxel) image pair: volume color or
-    instance-argmax palette (viewer.cu:26-85 semantics)."""
-    H, W = vd2.shape
+def fetch_shade_inputs(vd2, colorpk, hist, mode: str):
+    """Per-pixel shade inputs of a winner-voxel image: (have, cpk, rows)
+    with only the channel `mode` needs materialized (cpk for "color",
+    hist rows for "instance"). Split out of _shade so the volume-sharded
+    render can fetch shard-locally and psum-combine before decoding
+    (parallel/sharding.make_sharded_render)."""
     have = vd2 >= 0
     vsafe = jnp.maximum(vd2, 0)
+    cpk = rows = None
     if mode == "color":
         # gather 128-lane rows then one-hot-select the voxel's lane: a flat
         # [N_vox] view retiles; [N_vox/128, 128] is layout-free
@@ -497,13 +513,25 @@ def _shade(zb2, vd2, colorpk, hist, mode: str):
         oh = ((vsafe % 128)[..., None]
               == jnp.arange(128)[None, None, :]).astype(jnp.float32)
         cpk = jnp.sum(crows * oh, axis=-1)
+    else:
+        K = hist.shape[1] * 128 // 2048  # hist rows [NB, 2048*K/128, 128]
+        rows = _gather_hist_rows(hist, vsafe, K)
+    return have, cpk, rows
+
+
+def shade_fetched(have, cpk, rows, mode: str):
+    """Decode pre-fetched per-pixel shade inputs (fetch_shade_inputs) to
+    the rendered u8 image — the shared tail of _shade and the sharded
+    render's post-psum decode."""
+    if mode == "color":
         blue = jnp.mod(cpk, 256.0)
         green = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
         red = jnp.floor(cpk / 65536.0)
         img = jnp.stack([red, green, blue], -1)  # RGB out
         return jnp.where(have[..., None], img, 0.0).astype(jnp.uint8)
-    K = hist.shape[1] * 128 // 2048     # hist rows [NB, 2048*K/128, 128]
-    rows = _gather_hist_rows(hist, vsafe, K)
+    H, W = have.shape
+    K = rows.shape[-1]
+    rows = rows.astype(jnp.float32)
     obj = jnp.argmax(rows, axis=-1)
     maxc = jnp.max(rows, axis=-1)
     lit = have & (obj > 0) & (maxc > 0)
@@ -516,6 +544,13 @@ def _shade(zb2, vd2, colorpk, hist, mode: str):
                      pal.astype(jnp.float32))
     img = jnp.where(lit[..., None], img, 0.0)
     return img.astype(jnp.uint8)
+
+
+def _shade(zb2, vd2, colorpk, hist, mode: str):
+    """Shade a decoded (z, winner-voxel) image pair: volume color or
+    instance-argmax palette (viewer.cu:26-85 semantics)."""
+    have, cpk, rows = fetch_shade_inputs(vd2, colorpk, hist, mode)
+    return shade_fetched(have, cpk, rows, mode)
 
 
 def _probe_decode(vid, hist, H: int, W: int, thresh: float):

@@ -2022,66 +2022,130 @@ def fuse_frames2_blocked_impl(b: BlockedTSDFState, depth1, color1, mask1,
     fusion/pipeline.py, NOT here — this function is given both frames'
     already-relabeled masks."""
     H, W = depth1.shape
-    K = b.hist.shape[1] * TILE_L // BLOCK_VOX
-    NB = b.diff.shape[0]
-    lookup = getattr(cfg, "pallas_lookup", "gather_t")
-    rect_h, rect_w = getattr(cfg, "pallas_rect", (RECT_H, RECT_W))
-    rect_mid = getattr(cfg, "pallas_rect_mid", (192, 384))
-    mid_h, mid_w = rect_mid
-    Hp, Wp = max(H, rect_h), max(W, rect_w)
-    fh = max((Hp + 7) // 8 * 8, rect_mid[0])
-    fw = max((Wp + 127) // 128 * 128, rect_mid[1])
-    pairable = (lookup == "gather"
-                and not getattr(cfg, "pallas_banded_rect", False)
-                and getattr(cfg, "pallas_frame_vmem", True)
-                # TWO banded tables must fit the VMEM-resident budget
-                and 2 * (2 * fh * fw * 4) <= 14 * 1024 * 1024
-                and not getattr(cfg, "pallas_sparse", False)
-                and not getattr(cfg, "pallas_compact", False)
-                and not cfg.pallas_state_hbm
-                and not getattr(cfg, "pallas_visit_compact", False))
-    if not pairable:
+    if not pair_prepable(cfg, H, W):
         b1, m1 = fuse_frame_blocked_impl(b, depth1, color1, mask1, e1,
                                          intrinsic, cfg)
         b2, m2 = fuse_frame_blocked_impl(b1, depth2, color2, mask2, e2,
                                          intrinsic, cfg)
         return b2, m1 + m2
 
+    T1, origins1, ff1, params1 = pair_prep_static(b, depth1, color1, e1,
+                                                  intrinsic, cfg)
+    T2, origins2, ff2, params2 = pair_prep_static(b, depth2, color2, e2,
+                                                  intrinsic, cfg)
+    T1 = inject_mask_banded(T1, mask1)
+    T2 = inject_mask_banded(T2, mask2)
+    return fuse_frames2_blocked_prepped(
+        b, (T1, origins1, ff1, params1), (T2, origins2, ff2, params2),
+        H, W, cfg)
+
+
+def pair_prepable(cfg: FusionConfig, H: int, W: int) -> bool:
+    """True when the paired dense kernel supports this config (the
+    frame_vmem "gather" configuration with both banded tables inside the
+    VMEM-resident budget); anything else makes fuse_frames2_blocked_impl
+    fall back to two sequential single-frame launches."""
+    lookup = getattr(cfg, "pallas_lookup", "gather_t")
+    rect_h, rect_w = getattr(cfg, "pallas_rect", (RECT_H, RECT_W))
+    rect_mid = getattr(cfg, "pallas_rect_mid", (192, 384))
+    fh = max((max(H, rect_h) + 7) // 8 * 8, rect_mid[0])
+    fw = max((max(W, rect_w) + 127) // 128 * 128, rect_mid[1])
+    return (lookup == "gather"
+            and not getattr(cfg, "pallas_banded_rect", False)
+            and getattr(cfg, "pallas_frame_vmem", True)
+            # TWO banded tables must fit the VMEM-resident budget
+            and 2 * (2 * fh * fw * 4) <= 14 * 1024 * 1024
+            and not getattr(cfg, "pallas_sparse", False)
+            and not getattr(cfg, "pallas_compact", False)
+            and not cfg.pallas_state_hbm
+            and not getattr(cfg, "pallas_visit_compact", False))
+
+
+def pair_prep_static(b: BlockedTSDFState, depth, color, e2i, intrinsic,
+                     cfg: FusionConfig):
+    """STATE-INDEPENDENT prep of one frame for the paired kernel: the
+    banded depth+color table (WITHOUT the mask bits — see
+    inject_mask_banded), packed origins + preclass, the pass-B flags and
+    the camera params. Reads only the volume GEOMETRY (vol_start, voxel,
+    mu, block dims — fixed for a whole chunk), never the fused arrays,
+    so a chunk driver can vmap it over every frame in ONE dispatch
+    before the scan (PERFORMANCE.md r5: run serially inside the scan
+    these latency-bound small ops cost ~2.9 ms/frame)."""
+    H, W = depth.shape
+    rect_h, rect_w = getattr(cfg, "pallas_rect", (RECT_H, RECT_W))
+    rect_mid = getattr(cfg, "pallas_rect_mid", (192, 384))
+    Hp, Wp = max(H, rect_h), max(W, rect_w)
+    fh = max((Hp + 7) // 8 * 8, rect_mid[0])
+    fw = max((Wp + 127) // 128 * 128, rect_mid[1])
     preclass = getattr(cfg, "pallas_preclass", True)
+    Km = intrinsic.astype(jnp.float32)
+
+    # pk1 carries depth only — the mask rides in once the (state-
+    # dependent) association relabels it
+    pk1 = depth.astype(jnp.float32)
+    c = color.astype(jnp.float32)
+    pk2 = c[..., 0] + c[..., 1] * 256.0 + c[..., 2] * 65536.0
+    if (fh, fw) != (H, W):
+        pk1 = jnp.pad(pk1, ((0, fh - H), (0, fw - W)))
+        pk2 = jnp.pad(pk2, ((0, fh - H), (0, fw - W)))
+    pk12 = jnp.stack([pk1.reshape(fh // 8, 8, fw),
+                      pk2.reshape(fh // 8, 8, fw)],
+                     axis=1).reshape(2 * fh, fw)
+    cls = (dict(depth=depth, depth_scale=cfg.depth_scale, mu=b.mu)
+           if preclass else {})
+    # origins computed vs the pre-band (Hp, Wp) table dims exactly
+    # like the single-frame path — clamps stay valid in the larger
+    # (fh, fw) table
+    origins, _fm, ff, _om = _block_origins(
+        b, e2i, intrinsic, Hp, Wp, rect_h, rect_w,
+        rect_mid=rect_mid, merge_mid=True, **cls)
+    E = e2i.astype(jnp.float32)
+    base = E[:3, :3] @ b.vol_start + E[:3, 3]
+    params = jnp.concatenate([
+        E[:3, 0] * b.voxel[0], E[:3, 1] * b.voxel[1],
+        E[:3, 2] * b.voxel[2], base,
+        jnp.stack([Km[0, 0], Km[1, 1], Km[0, 2], Km[1, 2]]),
+        b.mu[None],
+        jnp.zeros((15,), jnp.float32),
+    ]).astype(jnp.float32)
+    return pk12, origins, ff, params
+
+
+def inject_mask_banded(T_pre, mask):
+    """Add a relabeled mask's id bits into a pair_prep_static table: the
+    depth values live in the even 8-row bands of the [2*fh, fw] banded
+    layout; id * 65536 lands exactly like _pack_frame's pk1 (u16 depth
+    in the low bits, id above — both exact in f32)."""
+    H, W = mask.shape
+    fh, fw = T_pre.shape[0] // 2, T_pre.shape[1]
+    mpad = mask.astype(jnp.float32)
+    if (fh, fw) != (H, W):
+        mpad = jnp.pad(mpad, ((0, fh - H), (0, fw - W)))
+    Tb = T_pre.reshape(fh // 8, 2, 8, fw)
+    Tb = Tb.at[:, 0].add(mpad.reshape(fh // 8, 8, fw) * 65536.0)
+    return Tb.reshape(2 * fh, fw)
+
+
+def fuse_frames2_blocked_prepped(b: BlockedTSDFState, prep1, prep2,
+                                 H: int, W: int, cfg: FusionConfig):
+    """Paired-kernel launch given both frames' prepped inputs
+    (pair_prep_static + inject_mask_banded): the pair dense pass, then
+    the two sequential pass-B launches. See fuse_frames2_blocked_impl
+    for semantics; this entry point exists so chunk drivers can batch
+    the state-independent prep outside their scan."""
+    K = b.hist.shape[1] * TILE_L // BLOCK_VOX
+    NB = b.diff.shape[0]
+    rect_h, rect_w = getattr(cfg, "pallas_rect", (RECT_H, RECT_W))
+    rect_mid = getattr(cfg, "pallas_rect_mid", (192, 384))
+    mid_h, mid_w = rect_mid
+    fh = max((max(H, rect_h) + 7) // 8 * 8, rect_mid[0])
+    fw = max((max(W, rect_w) + 127) // 128 * 128, rect_mid[1])
     defer_wb = getattr(cfg, "pallas_defer_writeback", True)
     uniform_skip = getattr(cfg, "pallas_uniform_skip", True)
     interpret = jax.default_backend() == "cpu"
-    Km = intrinsic.astype(jnp.float32)
 
-    def prep(depth, color, mask, e2i):
-        pk1, pk2 = _pack_frame(depth, color, mask)
-        if (fh, fw) != (H, W):
-            pk1 = jnp.pad(pk1, ((0, fh - H), (0, fw - W)))
-            pk2 = jnp.pad(pk2, ((0, fh - H), (0, fw - W)))
-        pk12 = jnp.stack([pk1.reshape(fh // 8, 8, fw),
-                          pk2.reshape(fh // 8, 8, fw)],
-                         axis=1).reshape(2 * fh, fw)
-        cls = (dict(depth=depth, depth_scale=cfg.depth_scale, mu=b.mu)
-               if preclass else {})
-        # origins computed vs the pre-band (Hp, Wp) table dims exactly
-        # like the single-frame path — clamps stay valid in the larger
-        # (fh, fw) table
-        origins, _fm, ff, _om = _block_origins(
-            b, e2i, intrinsic, Hp, Wp, rect_h, rect_w,
-            rect_mid=rect_mid, merge_mid=True, **cls)
-        E = e2i.astype(jnp.float32)
-        base = E[:3, :3] @ b.vol_start + E[:3, 3]
-        params = jnp.concatenate([
-            E[:3, 0] * b.voxel[0], E[:3, 1] * b.voxel[1],
-            E[:3, 2] * b.voxel[2], base,
-            jnp.stack([Km[0, 0], Km[1, 1], Km[0, 2], Km[1, 2]]),
-            b.mu[None],
-            jnp.zeros((15,), jnp.float32),
-        ]).astype(jnp.float32)
-        return pk12, origins, ff, params
-
-    T1, origins1, ff1, params1 = prep(depth1, color1, mask1, e1)
-    T2, origins2, ff2, params2 = prep(depth2, color2, mask2, e2)
+    T1, origins1, ff1, params1 = prep1
+    T2, origins2, ff2, params2 = prep2
     excl = ff1 | ff2
     # pair pass skips pass-B blocks of EITHER frame (frame order would
     # break for them); force their codes to identity here

@@ -21,8 +21,9 @@ x 4 corners x 4 levels ≈ 12 ms of gathers. This kernel has ZERO gathers:
   W2 [P², 1024] @ rect [1024, C]. The weights are built from iotas on the
   VPU — no table, no gather; tf.crop_and_resize's extrapolation_value=0 is
   the in-range mask folded into the weights.
-* The rect DMA (512 KB bf16) dominates; GROUP ROIs are prefetched per grid
-  step so copies overlap compute.
+* The rect DMA dominates (48x48x256 bf16 = 1.2 MB worst case; the TIERS
+  dispatch below cuts the common case 6x); GROUP ROIs are prefetched per
+  grid step so copies overlap compute.
 
 Parity: tests/test_roi_align_pallas.py asserts against the jnp oracle
 (crop_and_resize) in interpret mode; bf16 rects give ~1e-2 relative
@@ -160,7 +161,7 @@ def pyramid_roi_align_pallas(features, boxes: jax.Array, pool_size: int,
     C = features[0].shape[-1]
     assert C % 128 == 0, f"channels {C} must be lane-aligned"
     assert max(image_shape[:2]) <= 1024, \
-        "RECT=32 rect coverage proven only for IMAGE_MAX_DIM <= 1024"
+        f"RECT={RECT} rect coverage proven only for IMAGE_MAX_DIM <= 1024"
     N = boxes.shape[0]
     boxes = jax.lax.stop_gradient(boxes)
 

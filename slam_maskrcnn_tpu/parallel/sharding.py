@@ -214,3 +214,97 @@ def make_sharded_fusion_step(cfg, mesh: Mesh, axis: str = "data",
     # bench counts the compiled graph's actual collective bytes)
     step.step_arrays = step_arrays
     return step
+
+
+def make_sharded_render(cfg, mesh: Mesh, axis: str = "data",
+                        max_blocks: int = 4096, mode: str = "instance"):
+    """Volume-sharded splat render — the viewer read across shards
+    (``src/SfM_CUDA/viewer.cu:137-179`` reads the WHOLE volume per
+    displayed frame; on a sharded volume each shard splats only its
+    sub-volume and the image assembles over ICI).
+
+    Same collective pattern as the sharded probe: shard-local splat to a
+    (z, voxel-id) image, ``pmin`` picks the globally nearest surface per
+    pixel (lowest shard breaks ties), a masked ``psum`` assembles the
+    winner's shade inputs (colorpk scalar or histogram row — voxel ids
+    are shard-local, so the FETCH happens on the owning shard), then the
+    hole-fill + palette decode run replicated. Matches the 1-device
+    ``_splat_render_jit`` output except where two shards' surfaces land
+    at the same pixel with z within f32 tie order (the 1-device sort
+    breaks ties by packed key; quantified in
+    tests/test_volume_sharding.py::test_sharded_render_matches_1dev).
+
+    Returns a jitted ``render(state, angle, dist, intrinsic, H, W) ->
+    [H, W, 3] u8`` over a sharded BlockedTSDFState."""
+    from slam_maskrcnn_tpu.fusion.splat import (BIG, _splat_zbuffer_arrays,
+                                                fetch_shade_inputs,
+                                                pinhole_of_orbit,
+                                                shade_fetched)
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (BX,
+                                                          BlockedTSDFState)
+
+    n = mesh.size
+    shard = P(axis)
+    rep = P()
+
+    def render_impl(diff, colorpk, hist, vol_start, voxel, angle, dist,
+                    intrinsic, *, nbx, nby, nbz, H, W):
+        nbx_local = nbx // n
+        i = jax.lax.axis_index(axis)
+        shift = i.astype(jnp.float32) * (nbx_local * BX) * voxel[0]
+        vs = vol_start.at[0].add(shift)
+        M, m4 = pinhole_of_orbit(angle, dist, intrinsic)
+        # local splat WITHOUT hole fill: filling from local-only
+        # neighbors would diverge from the 1-device render — fill runs
+        # on the combined image below, in z space, like the probe's
+        zbuf, vid, _ovf, _clip = _splat_zbuffer_arrays(
+            diff, vs, voxel, M, m4, H, W, nby, nbz, max_blocks,
+            cfg.splat_max_surface, getattr(cfg, "splat_max_rows", 8192),
+            getattr(cfg, "splat_shell_band", 0.999),
+            getattr(cfg, "splat_row_cap", 0), fill=False)
+        z2 = zbuf.reshape(H, W)
+        vd2 = vid.reshape(H, W)
+        have_l, cpk_l, rows_l = fetch_shade_inputs(vd2, colorpk, hist,
+                                                   mode)
+        gz = jax.lax.pmin(z2, axis)
+        claim = (z2 <= gz) & (z2 < BIG)
+        owner = jax.lax.pmin(jnp.where(claim, i, n), axis)
+        mine = claim & (owner == i) & have_l
+        have = jax.lax.psum(mine.astype(jnp.int32), axis) > 0
+        if mode == "color":
+            shade_in = jax.lax.psum(jnp.where(mine, cpk_l, 0.0), axis)
+        else:
+            shade_in = jax.lax.psum(
+                jnp.where(mine[..., None], rows_l.astype(jnp.float32),
+                          0.0), axis)
+        # post-combine 1-px hole fill (the probe's _fill_holes_probs
+        # pattern): empty pixels take the nearest-z neighbor's inputs
+        fill_in = shade_in if mode != "color" else shade_in[..., None]
+        gz2, fill_out = _fill_holes_probs(
+            jnp.where(have, gz, BIG), fill_in, BIG)
+        filled = (gz2 < BIG)
+        if mode == "color":
+            return shade_fetched(filled, fill_out[..., 0], None, mode)
+        return shade_fetched(filled, None, fill_out, mode)
+
+    @partial(jax.jit, static_argnames=("nbx", "nby", "nbz", "H", "W"))
+    def render_arrays(diff, colorpk, hist, vol_start, voxel, angle, dist,
+                      intrinsic, nbx, nby, nbz, H, W):
+        fn = partial(render_impl, nbx=nbx, nby=nby, nbz=nbz,
+                     H=H, W=W)
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(shard, shard, shard, rep, rep, rep, rep, rep),
+            out_specs=rep,
+            check_vma=False,
+        )(diff, colorpk, hist, vol_start, voxel, angle, dist, intrinsic)
+
+    def render(state, angle, dist, intrinsic, H: int, W: int):
+        return render_arrays(state.diff, state.colorpk, state.hist,
+                             state.vol_start, state.voxel,
+                             jnp.asarray(angle, jnp.float32),
+                             jnp.asarray(dist, jnp.float32),
+                             jnp.asarray(intrinsic, jnp.float32),
+                             state.nbx, state.nby, state.nbz, H, W)
+
+    return render

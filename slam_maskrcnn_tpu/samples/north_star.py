@@ -37,7 +37,8 @@ import numpy as np
 from slam_maskrcnn_tpu.fusion.associate import (apply_relabel,
                                                 associate_instances)
 from slam_maskrcnn_tpu.fusion.splat import (_compact_shell, _shade,
-                                            _splat_from_rows, depth_probe,
+                                            _splat_from_rows,
+                                            decode_candidates, depth_probe,
                                             pinhole_of_orbit,
                                             probe_from_rows,
                                             select_candidates,
@@ -45,7 +46,9 @@ from slam_maskrcnn_tpu.fusion.splat import (_compact_shell, _shade,
 from slam_maskrcnn_tpu.fusion.state import FusionConfig
 from slam_maskrcnn_tpu.models.anchors import get_anchors
 from slam_maskrcnn_tpu.models.mask_ops import label_masks_device
-from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import fuse_frame_blocked_impl
+from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (fuse_frame_blocked_impl,
+                                                      pair_prep_static,
+                                                      pair_prepable)
 
 
 def device_mold_geometry(model_config, H: int, W: int):
@@ -122,7 +125,7 @@ def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
                           angle, dist, cfg: FusionConfig, H: int, W: int,
                           share_shell: bool = True,
                           render_mode: str = "instance", rows=None,
-                          cands=None):
+                          cands=None, cands_dec=None):
     """Fusion side of the north-star frame, detect already done: probe ->
     associate -> relabel -> 512^3 blocked fuse -> in-loop splat render.
 
@@ -179,13 +182,13 @@ def fuse_render_step_impl(state, mask, depth, color_bgr, e2i, intrinsic,
                 misses + overflow)
 
     render = _render_view(state, angle, dist, intrinsic, cfg, H, W,
-                          share_shell, render_mode, rows, cands)
+                          share_shell, render_mode, rows, cands, cands_dec)
     return state, render, mask_g, misses + overflow
 
 
 def _render_view(state, angle, dist, intrinsic, cfg: FusionConfig,
                  H: int, W: int, share_shell: bool, render_mode: str,
-                 rows, cands):
+                 rows, cands, cands_dec=None):
     """The in-loop render (viewer.cu orbit camera): candidate/shell splat
     + shade at one orbit angle, reading the CURRENT state."""
     M, m4 = pinhole_of_orbit(angle, dist, intrinsic)
@@ -193,7 +196,7 @@ def _render_view(state, angle, dist, intrinsic, cfg: FusionConfig,
         zbuf, vid = splat_from_candidates(cands, state.vol_start,
                                           state.voxel, state.nby,
                                           state.nbz, M, m4, H, W,
-                                          fill=True)
+                                          fill=True, decoded=cands_dec)
     else:
         if not share_shell or rows is None:
             rows = _compact_shell(state.diff, state.vol_start, state.voxel,
@@ -217,7 +220,8 @@ def _render_view(state, angle, dist, intrinsic, cfg: FusionConfig,
 def fuse_render_pair_step_impl(state, m1, d1, c1, e1, a1, m2, d2, c2, e2,
                                a2, intrinsic, dist, cfg: FusionConfig,
                                H: int, W: int, share_shell: bool = True,
-                               render_mode: str = "instance", cands=None):
+                               render_mode: str = "instance", cands=None,
+                               cands_dec=None, prep=None):
     """Paired-frame north-star step: both frames' associations, ONE
     paired fuse kernel pass (fusion/pipeline.py
     fusion_step_pair_blocked_impl — the dense pass's per-frame fixed
@@ -235,14 +239,14 @@ def fuse_render_pair_step_impl(state, m1, d1, c1, e1, a1, m2, d2, c2, e2,
         fusion_step_pair_blocked_impl)
 
     state, (mg1, mg2), misses = fusion_step_pair_blocked_impl(
-        state, d1, c1, m1, e1, d2, c2, m2, e2, intrinsic, cfg)
+        state, d1, c1, m1, e1, d2, c2, m2, e2, intrinsic, cfg, prep=prep)
     if render_mode == "none":
         z = jnp.zeros((2, H, W, 3), jnp.uint8)
         return state, z, jnp.stack([mg1, mg2]), misses
     r1 = _render_view(state, a1, dist, intrinsic, cfg, H, W,
-                      share_shell, render_mode, None, cands)
+                      share_shell, render_mode, None, cands, cands_dec)
     r2 = _render_view(state, a2, dist, intrinsic, cfg, H, W,
-                      share_shell, render_mode, None, cands)
+                      share_shell, render_mode, None, cands, cands_dec)
     return state, jnp.stack([r1, r2]), jnp.stack([mg1, mg2]), misses
 
 
@@ -344,7 +348,7 @@ class NorthStar:
             refresh schedule. `masks` given: scan over precomputed masks
             (the batched-detect form); None: detect inside the loop using
             detect_ctx = (params, anchors, nwin)."""
-            def fuse_one(st, d, c, msk, e, a, cands=None):
+            def fuse_one(st, d, c, msk, e, a, cands=None, cands_dec=None):
                 if msk is None:
                     params, anchors, nwin = detect_ctx
                     msk = detect_mask_impl(model, params, anchors, nwin,
@@ -352,7 +356,8 @@ class NorthStar:
                                            self.mean_pixel)
                 return fuse_render_step_impl(
                     st, msk, d, c, e, K4, a, dist, cfg, H, W,
-                    share_shell, render_mode, cands=cands)
+                    share_shell, render_mode, cands=cands,
+                    cands_dec=cands_dec)
 
             xs = ((depths, colors, es, angles) if masks is None
                   else (depths, colors, masks, es, angles))
@@ -370,6 +375,46 @@ class NorthStar:
                     return st, (render, mask_g, miss)
 
                 return jax.lax.scan(body, state, xs)
+
+            N = depths.shape[0]
+            if N % refresh == 0:
+                # refresh-aligned NESTED scan: the outer scan walks
+                # segments of `refresh` frames, computing AND DECODING the
+                # candidate set once per segment; the inner scan closes
+                # over it as a loop-INVARIANT. Same schedule and bitwise
+                # outputs as the carried-cond form below (refresh at
+                # i % refresh == 0 from the post-previous-frame state at
+                # that frame's angle), but the ~1M-entry candidate decode
+                # is provably hoisted instead of re-derived per frame —
+                # the carried lax.cond form defeated XLA's loop-invariant
+                # hoisting (r4: composed render 14.0 ms vs ~7.5 isolated).
+                n_seg = N // refresh
+                seg_xs = tuple(x.reshape((n_seg, refresh) + x.shape[1:])
+                               for x in xs)
+
+                def seg_body(st, seg):
+                    a0 = seg[-1][0]  # segment's first orbit angle
+                    cands, ovf = _candidates(st, a0, dist)
+                    dec = decode_candidates(cands, st.vol_start, st.voxel,
+                                            st.nby, st.nbz)
+
+                    def body(st, fr):
+                        st, render, mask_g, miss = fuse_one(
+                            st, *unpack(fr), cands=cands, cands_dec=dec)
+                        return st, (render, mask_g, miss)
+
+                    st, (renders, mgs, misses) = jax.lax.scan(body, st,
+                                                              seg)
+                    # the segment's refresh overflow lands on its first
+                    # frame (the no-silent-caps channel)
+                    return st, (renders, mgs, misses.at[0].add(ovf))
+
+                state, (renders, mgs, misses) = jax.lax.scan(seg_body,
+                                                             state, seg_xs)
+                return state, (
+                    renders.reshape((N,) + renders.shape[2:]),
+                    mgs.reshape((N,) + mgs.shape[2:]),
+                    misses.reshape(-1))
 
             cands0, cands_ovf0 = _candidates(state, angles[0], dist)
             idxs = jnp.arange(depths.shape[0], dtype=jnp.int32)
@@ -417,12 +462,16 @@ class NorthStar:
 
         self._chunk_batched = jax.jit(chunk_batched, donate_argnums=(3,))
 
-        def _scan_pair(state, depths, colors, masks, es, K4, angles, dist):
+        def _scan_pair(state, depths, colors, masks, es, K4, angles, dist,
+                       preps=None):
             """Paired-frame fuse+render scan (N/2 steps over frame
             pairs): the dense fuse pass's per-frame fixed costs are paid
             once per pair (fuse_render_pair_step_impl). Carries the same
             candidate-refresh schedule as _scan_fused, evaluated at the
-            pair's first frame."""
+            pair's first frame. `preps` (optional): the chunk's batched
+            pair_prep_static outputs [N, ...] — the scan body then only
+            injects relabeled masks instead of re-running the
+            state-independent kernel prep per frame."""
             N = depths.shape[0]
 
             def pairify(x):
@@ -430,14 +479,26 @@ class NorthStar:
 
             xs = tuple(pairify(v) for v in (depths, colors, masks, es,
                                             angles))
+            n_fr = 5
+            if preps is not None:
+                xs = xs + tuple(pairify(p) for p in preps)
 
-            def pair_step(st, fr, cands=None):
-                d, c, m, e, a = fr
+            def pair_step(st, fr, cands=None, cands_dec=None):
+                d, c, m, e, a = fr[:n_fr]
+                prep = None
+                if preps is not None:
+                    T, o, ff, pp = fr[n_fr:]
+                    prep = ((T[0], o[0], ff[0], pp[0]),
+                            (T[1], o[1], ff[1], pp[1]))
                 return fuse_render_pair_step_impl(
                     st, m[0], d[0], c[0], e[0], a[0],
                     m[1], d[1], c[1], e[1], a[1], K4, dist, cfg, H, W,
-                    share_shell, render_mode, cands=cands)
+                    share_shell, render_mode, cands=cands,
+                    cands_dec=cands_dec, prep=prep)
 
+            # pairs per refresh segment: the carried-cond form refreshes
+            # at pair i when (2i) % refresh == 0
+            seg_pairs = refresh if refresh % 2 else refresh // 2
             if refresh <= 1:
                 def body(st, fr):
                     st, renders, mg, miss = pair_step(st, fr)
@@ -445,6 +506,35 @@ class NorthStar:
 
                 state, (renders, mgs, misses) = jax.lax.scan(body, state,
                                                              xs)
+            elif (N // 2) % seg_pairs == 0:
+                # refresh-aligned nested scan over PAIR segments — see
+                # _scan_fused: candidate select + decode once per
+                # segment, closed over the inner scan as invariants
+                n_seg = (N // 2) // seg_pairs
+                seg_xs = tuple(x.reshape((n_seg, seg_pairs) + x.shape[1:])
+                               for x in xs)
+
+                def seg_body(st, seg):
+                    a0 = seg[4][0, 0]  # segment's first orbit angle
+                    cands, ovf = _candidates(st, a0, dist)
+                    dec = decode_candidates(cands, st.vol_start, st.voxel,
+                                            st.nby, st.nbz)
+
+                    def body(st, fr):
+                        st, renders, mg, miss = pair_step(
+                            st, fr, cands=cands, cands_dec=dec)
+                        return st, (renders, mg, miss)
+
+                    st, (renders, mgs, misses) = jax.lax.scan(body, st,
+                                                              seg)
+                    return st, (renders, mgs, misses.at[0].add(ovf))
+
+                state, (renders, mgs, misses) = jax.lax.scan(seg_body,
+                                                             state, seg_xs)
+                NP = N // 2
+                renders = renders.reshape((NP,) + renders.shape[2:])
+                mgs = mgs.reshape((NP,) + mgs.shape[2:])
+                misses = misses.reshape(-1)
             else:
                 cands0, ovf0 = _candidates(state, angles[0], dist)
                 idxs = jnp.arange(N // 2, dtype=jnp.int32)
@@ -452,7 +542,7 @@ class NorthStar:
                 def body(carry, fr_i):
                     st, cands = carry
                     fr, i = fr_i[:-1], fr_i[-1]
-                    a0 = fr[-1][0]  # the pair's first orbit angle
+                    a0 = fr[4][0]  # the pair's first orbit angle
                     cands, ovf = jax.lax.cond(
                         ((2 * i) % refresh == 0) & (i > 0),
                         lambda s: _candidates(s, a0, dist),
@@ -471,8 +561,18 @@ class NorthStar:
             masks = detect_mask_batched_impl(model, params, anchors,
                                              nwin, colors, H, W,
                                              self.geom, self.mean_pixel)
+            # hoist the state-independent kernel prep out of the scan as
+            # ONE vmapped dispatch over the chunk (pair_prep_static reads
+            # only volume geometry; serial in-scan it cost ~2.9 ms/frame
+            # of latency-bound small ops, PERFORMANCE.md r5)
+            preps = None
+            if pair_prepable(cfg, H, W):
+                preps = jax.vmap(
+                    lambda d, c, e: pair_prep_static(state, d, c, e, K4,
+                                                     cfg))(depths, colors,
+                                                           es)
             return _scan_pair(state, depths, colors, masks, es, K4,
-                              angles, dist)
+                              angles, dist, preps=preps)
 
         self._chunk_batched_pair = jax.jit(chunk_batched_pair,
                                            donate_argnums=(3,))

@@ -72,6 +72,48 @@ def test_instance_fidelity(fused):
     assert interior_mism < 0.01, f"interior mismatch {interior_mism:.4f}"
 
 
+def test_fat_fixture_interior_evidence():
+    """VERDICT r4 #9: the 64^3 thin-object fixture left n=17 interior
+    pixels at angle 0.05 — too little evidence for the 'interior exact'
+    claim. The fat fixture (128x128x64 volume, 240x320 image, 4 fat
+    spheres) must yield >= 1000 instance-interior pixels per view with
+    EXACT palette agreement, and every mismatching pixel must sit within
+    a bounded chebyshev distance of a label edge (the boundary-band-width
+    metric; tools/render_fidelity.py records the full sweep)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from render_fidelity import fat_scene, fidelity, mismatch_band_width
+
+    from slam_maskrcnn_tpu.data.synthetic import hard_sequence
+    from slam_maskrcnn_tpu.fusion.raycast import render_orbit
+    from slam_maskrcnn_tpu.fusion.state import make_intrinsic
+
+    Hf, Wf = 240, 320
+    K4 = make_intrinsic(260.0, 260.0, Wf / 2, Hf / 2)
+    frames = hard_sequence(fat_scene(), K4, Hf, Wf, n_frames=6)
+    cfg = FusionConfig(vol_dim=(128, 128, 64), hist_dtype=jnp.uint16)
+    fus = SemanticFusion(K4, cfg, backend="pallas", miss_check_every=0)
+    for fr in frames:
+        fus.parse_frame(fr["depth"], fr["color"], fr["mask"],
+                        fr["extrinsic"], fr["mean_depth"])
+    Ki = np.linalg.inv(K4).astype(np.float32)
+    for angle in (0.05, 0.35):
+        sp = np.asarray(splat_render_orbit(fus.state, angle,
+                                           fus.mean_depth, jnp.asarray(K4),
+                                           Hf, Wf, cfg, mode="instance"))
+        ma = np.asarray(render_orbit(fus.dense_state(), jnp.float32(angle),
+                                     jnp.float32(fus.mean_depth),
+                                     jnp.asarray(Ki), Hf, Wf, cfg,
+                                     mode="instance"))
+        _agree, _exact, _psnr, interior = fidelity(sp, ma)
+        assert interior["n"] >= 1000, (angle, interior)
+        assert interior["exact"] == 1.0, (angle, interior)
+        assert mismatch_band_width(sp, ma) <= 6, angle
+
+
 def test_color_fidelity(fused):
     sp, ma = _renders(fused, "color")
     ha, hb = sp.sum(-1) > 0, ma.sum(-1) > 0

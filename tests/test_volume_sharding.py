@@ -26,6 +26,7 @@ from slam_maskrcnn_tpu.fusion.pipeline import fusion_step_blocked
 from slam_maskrcnn_tpu.fusion.state import make_intrinsic
 from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import to_blocked
 from slam_maskrcnn_tpu.parallel import (make_mesh, make_sharded_fusion_step,
+                                        make_sharded_render,
                                         shard_volume_state)
 
 H, W = 48, 64
@@ -99,6 +100,45 @@ def test_production_config_sharded_golden():
     assert out["ok"], out
     assert out["n_blocks"] == 512
     assert out["num_objs"] >= 2, "stress fixture must churn instances"
+
+
+def test_sharded_render_matches_1dev():
+    """The viewer read across shards (VERDICT r4 missing #2): the
+    volume-sharded splat render (shard-local splat -> pmin z-combine ->
+    owner psum of shade inputs -> replicated fill+decode) against the
+    1-device splat_render_orbit on the same fused state. Exact except
+    where two shards' surfaces tie at a pixel (the 1-device sort breaks
+    ties by packed key) — bounded at <= 1% of pixels, and checked in
+    BOTH render modes."""
+    from slam_maskrcnn_tpu.fusion.splat import splat_render_orbit
+
+    cfg = FusionConfig(vol_dim=(32, 32, 128), hist_dtype=jnp.uint16,
+                       pallas_rect=(128, 256))
+    n_dev = 4
+    frames = _frames(4)
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+    staged = _staged(frames)
+    Kj = jnp.asarray(K4)
+
+    ref = to_blocked(init_from_first_frame(cfg, depth0, K4, md), cfg)
+    for d, c, m, e2i in staged[1:]:
+        ref, _mask, miss = fusion_step_blocked(ref, d, c, m, e2i, Kj, cfg)
+        assert int(miss) == 0
+
+    mesh = make_mesh(n_dev)
+    st = shard_volume_state(ref, mesh)
+    assert len(set(st.diff.devices())) == n_dev
+    for mode in ("instance", "color"):
+        render = make_sharded_render(cfg, mesh, max_blocks=1024, mode=mode)
+        img_sh = np.asarray(render(st, 0.05, md, Kj, H, W))
+        img_1d = np.asarray(splat_render_orbit(ref, 0.05, md, Kj, H, W,
+                                               cfg, mode=mode))
+        assert img_sh.shape == img_1d.shape == (H, W, 3)
+        mismatch = (img_sh != img_1d).any(axis=-1).mean()
+        assert mismatch <= 0.01, (mode, float(mismatch))
+        # the sharded image must actually contain content
+        assert (img_sh.sum(axis=-1) > 0).mean() > 0.05, mode
 
 
 def test_blocked_fusion_step_sharded_matches_single():

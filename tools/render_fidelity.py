@@ -86,23 +86,73 @@ def fidelity(a: "np.ndarray", b: "np.ndarray"):
     return agree, exact, psnr, interior_stats
 
 
-def build():
-    import jax
+def mismatch_band_width(a: "np.ndarray", b: "np.ndarray",
+                        max_r: int = 6):
+    """Smallest dilation radius r (chebyshev) of the union label-edge set
+    that contains EVERY mismatching jointly-covered pixel — the measured
+    WIDTH of the disagreement band (VERDICT r4 #9). max_r+1 means some
+    mismatch sits farther than max_r from any edge (a non-boundary
+    disagreement)."""
+    import numpy as np
 
-    jax.config.update("jax_platforms", "cpu")
+    ha, hb = a.sum(-1) > 0, b.sum(-1) > 0
+    both = ha & hb
+    mism = both & ~(a == b).all(-1)
+    if not mism.any():
+        return 0
+    edge = np.zeros(both.shape, bool)
+    for img in (a, b):
+        lab = img.astype(np.int64)
+        key = lab[..., 0] * 65536 + lab[..., 1] * 256 + lab[..., 2]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                edge |= np.roll(key, (dy, dx), (0, 1)) != key
+    band = edge.copy()
+    for r in range(max_r + 1):
+        if not (mism & ~band).any():
+            return r
+        grown = band.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                grown |= np.roll(band, (dy, dx), (0, 1))
+        band = grown
+    return max_r + 1
+
+
+def fat_scene():
+    """The interior-evidence fixture (VERDICT r4 #9): FEW, FAT spheres so
+    the instance channel has >= 10^3 interior pixels per view (the 64^3
+    hard-scene fixture's thin objects left n=17 at angle 0.05)."""
+    import numpy as np
+
+    from slam_maskrcnn_tpu.data.synthetic import SphereScene
+
+    centers = np.array([[-0.28, 0.05, 1.25],
+                        [0.3, -0.1, 1.45],
+                        [0.02, 0.22, 1.1],
+                        [-0.05, -0.3, 1.6]], np.float32)
+    return SphereScene(
+        centers=centers,
+        radii=np.array([0.26, 0.3, 0.2, 0.24], np.float32),
+        colors=np.array([[200, 60, 60], [60, 200, 60],
+                         [60, 60, 200], [200, 200, 60]], np.uint8),
+        plane_z=2.2,
+    )
+
+
+def _measure(scene, vol_dim, H, W, focal, n_frames, angles):
     import jax.numpy as jnp
     import numpy as np
 
-    from slam_maskrcnn_tpu.data.synthetic import hard_scene, hard_sequence
+    from slam_maskrcnn_tpu.data.synthetic import hard_sequence
     from slam_maskrcnn_tpu.fusion import FusionConfig, SemanticFusion
     from slam_maskrcnn_tpu.fusion.raycast import render_orbit
     from slam_maskrcnn_tpu.fusion.splat import splat_render_orbit
     from slam_maskrcnn_tpu.fusion.state import make_intrinsic
 
-    H, W = 120, 160
-    K4 = make_intrinsic(130.0, 130.0, W / 2, H / 2)
-    frames = hard_sequence(hard_scene(), K4, H, W, n_frames=16)
-    cfg = FusionConfig(vol_dim=(64,) * 3, hist_dtype=jnp.uint16)
+    K4 = make_intrinsic(focal, focal, W / 2, H / 2)
+    frames = hard_sequence(scene, K4, H, W, n_frames=n_frames)
+    cfg = FusionConfig(vol_dim=vol_dim, hist_dtype=jnp.uint16)
     fus = SemanticFusion(K4, cfg, backend="pallas", miss_check_every=0)
     for fr in frames:
         fus.parse_frame(fr["depth"], fr["color"], fr["mask"],
@@ -112,8 +162,8 @@ def build():
     Kj = jnp.asarray(K4)
     Ki = jnp.asarray(np.linalg.inv(K4).astype(np.float32))
 
-    out = {"volume": 64, "frames": len(frames), "views": []}
-    for angle in (0.05, 0.35, 0.75):
+    views = []
+    for angle in angles:
         row = {"angle": angle}
         for mode in ("instance", "color"):
             sp = np.asarray(splat_render_orbit(
@@ -126,8 +176,35 @@ def build():
                          "exact_pixel_fraction": round(exact, 4),
                          "psnr_db": (None if psnr == float("inf")
                                      else round(psnr, 2)),
-                         "interior": interior}
-        out["views"].append(row)
+                         "interior": interior,
+                         "mismatch_band_width": mismatch_band_width(sp,
+                                                                    ma)}
+        views.append(row)
+    return views
+
+
+def build():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from slam_maskrcnn_tpu.data.synthetic import hard_scene
+
+    out = {"volume": 64, "frames": 16, "views": _measure(
+        hard_scene(), (64,) * 3, 120, 160, 130.0, 16, (0.05, 0.35, 0.75))}
+    # the interior-evidence fixture (VERDICT r4 #9): 128^3 volume +
+    # 240x320 image + fat instances -> >= 10^3 instance-interior pixels
+    # per view with exact = 1.0 (asserted in tests/test_render_fidelity)
+    out["fat"] = {"volume": 128, "H": 240, "W": 320, "frames": 8,
+                  "views": _measure(fat_scene(), (128, 128, 64), 240, 320,
+                                    260.0, 8, (0.05, 0.35, 0.75))}
+    out["fat"]["min_interior_n_instance"] = min(
+        v["instance"]["interior"]["n"] for v in out["fat"]["views"])
+    out["fat"]["min_interior_exact_instance"] = min(
+        v["instance"]["interior"]["exact"] for v in out["fat"]["views"])
+    out["fat"]["max_mismatch_band_width"] = max(
+        v[m]["mismatch_band_width"] for v in out["fat"]["views"]
+        for m in ("instance", "color"))
 
     keys = ("coverage_agreement", "exact_pixel_fraction")
     out["min_instance"] = {k: min(v["instance"][k] for v in out["views"])
