@@ -511,8 +511,39 @@ def main():
                 r["class_ids"], r["scores"], np.asarray(r["masks"]))
             aps_r.append(ap_r)
         map_rect = round(float(np.mean(aps_r)), 4)
+
+        # f32-trunk option (VERDICT r4 #7): the same weights with
+        # COMPUTE_DTYPE="float32" on the TPU — quantifies how much of
+        # the CPU/TPU detect gap is the bf16 trunk (and what closing it
+        # buys: box match vs the CPU goldens + quality mAP vs GT; the
+        # speed cost is measured at the bench shape, PERFORMANCE.md r5)
+        class F32Shapes(InferenceShapesConfig):
+            COMPUTE_DTYPE = "float32"
+
+        model_f = MaskRCNN("inference", F32Shapes())
+        model_f.init_params(0)
+        model_f.load_weights(TRAINED, by_name=True)
+        aps_f = []
+        tot_matched_f = tot_matched_f90 = 0
+        for i, (img, (gb, gc, gm)) in enumerate(zip(imgs_r, gts)):
+            r = model_f.detect([img])[0]
+            margs = (cpu_d[f"rois{i}"], cpu_d[f"class_ids{i}"],
+                     cpu_d[f"scores{i}"], r["rois"].astype(np.float32),
+                     np.asarray(r["class_ids"]), np.asarray(r["scores"]))
+            m_f, _, _ = match_detections(*margs, iou_thr=0.5)
+            m_f90, _, _ = match_detections(*margs, iou_thr=0.9)
+            tot_matched_f += m_f
+            tot_matched_f90 += m_f90
+            ap_f, _, _, _ = compute_ap(
+                gb, gc, gm, r["rois"].astype(np.float32), r["class_ids"],
+                np.asarray(r["scores"]), np.asarray(r["masks"]))
+            aps_f.append(ap_f)
+        map_f32 = round(float(np.mean(aps_f)), 4)
+        box_match_f32 = round(tot_matched_f / max(tot_cpu, 1), 4)
+        box_match_f32_90 = round(tot_matched_f90 / max(tot_cpu, 1), 4)
     else:
         map_rect = None
+        map_f32 = box_match_f32 = box_match_f32_90 = None
     mi = np.asarray(mask_ious) if mask_ious else np.zeros((0,))
     report["detect"] = {
         "n_images": n_images,
@@ -524,6 +555,9 @@ def main():
         "map50_vs_gt_cpu": map_cpu,
         "map50_vs_gt_tpu": map_tpu,
         "map50_vs_gt_tpu_rect": map_rect,
+        "map50_vs_gt_tpu_f32": map_f32,
+        "box_match_frac_f32": box_match_f32,
+        "box_match_frac_f32_iou90": box_match_f32_90,
         "score_mad_max": round(max(mads_all) if mads_all else 0.0, 5),
         "unmatched_cpu_scores": [round(s, 3)
                                  for s in sorted(unmatched_scores,

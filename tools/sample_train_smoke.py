@@ -171,7 +171,14 @@ def main():
     ap.add_argument("--decay-after", type=float, default=None,
                     help="fraction of epochs after which LR drops 10x "
                          "(the reference's stage-wise LR/10 schedule)")
+    ap.add_argument("--samples", default="balloon,nucleus",
+                    help="comma list of samples to run; entries for "
+                         "samples NOT run are preserved from the "
+                         "existing --out file (so one sample's gate can "
+                         "be re-run without repeating the other's "
+                         "multi-hundred-step TPU train)")
     args = ap.parse_args()
+    which = {s.strip() for s in args.samples.split(",") if s.strip()}
     import jax
 
     if args.cpu:
@@ -189,7 +196,10 @@ def main():
                                                    NucleusDataset)
 
     results = []
-    with tempfile.TemporaryDirectory() as root:
+    if "balloon" not in which:
+        results.append(None)  # placeholder, filled from the old artifact
+    else:
+      with tempfile.TemporaryDirectory() as root:
         make_balloon_tree(root, n=args.train_images)
         ds = BalloonDataset()
         ds.load_balloon(root, "train")
@@ -223,7 +233,10 @@ def main():
                                decay_after=args.decay_after))
         del model
 
-    with tempfile.TemporaryDirectory() as root:
+    if "nucleus" not in which:
+        results.append(None)
+    else:
+      with tempfile.TemporaryDirectory() as root:
         make_nucleus_tree(root, n=args.train_images)
         ds = NucleusDataset()
         ds.load_nucleus(root, "stage1_train")
@@ -251,6 +264,15 @@ def main():
                                inf_cfg=NucleusInferenceConfig(),
                                decay_after=args.decay_after))
 
+    # merge: samples not run this invocation keep their entry from the
+    # existing artifact
+    if any(r is None for r in results) and os.path.exists(args.out):
+        with open(args.out) as f:
+            old = {r["sample"]: r for r in json.load(f)}
+        names = ["balloon", "nucleus"]
+        results = [r if r is not None else old.get(names[i])
+                   for i, r in enumerate(results)]
+    results = [r for r in results if r is not None]
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
