@@ -322,7 +322,7 @@ def _splat_from_rows(rows, M, m4, H, W, max_blocks: int, max_rows: int,
     return zbuf, vid, overflow, clip
 
 
-def select_candidates(rows, M, m4, row_cap: int):
+def select_candidates(rows, M, m4, row_cap: int, approx: bool = False):
     """Camera-guided candidate selection: the level-2 sort+cap of
     _splat_from_rows, returning ONLY the selected voxel codes
     ([max_rows * cap] i32, -1 = empty slot) plus the overflow/clip
@@ -347,9 +347,31 @@ def select_candidates(rows, M, m4, row_cap: int):
     vis_r = shell_r & (sz > 1e-6)
     _ = (u, v)  # in-image test deferred to render time (exact per frame)
     zkey = jnp.where(vis_r, sz, BIG)
-    z_sd, code_sd = jax.lax.sort((zkey, code_r), dimension=1, num_keys=1)
-    sel_ok = z_sd[:, :cap] < BIG / 2
-    codes = jnp.where(sel_ok, code_sd[:, :cap], -1).reshape(-1)
+    if approx:
+        # TPU-native selection: lax.approx_min_k beats the full lane
+        # sort the same way approx_max_k beats top_k (CLAUDE.md) — the
+        # refresh's [max_rows, 128] 2-operand sort costs ~3-5 ms/frame
+        # amortized at the 512^3 budgets. Approximation: per row, up to
+        # (1 - recall) of the true nearest-cap set may be swapped for
+        # slightly farther candidates — same failure class as the row
+        # cap itself (z-order-redundant entries), bounded by the winner
+        # agreement A/B (PERFORMANCE.md r5). Dropped-candidate pixels
+        # still z-test exactly at render time.
+        z_ap, idx_ap = jax.lax.approx_min_k(zkey, cap,
+                                            recall_target=0.95)
+        # per-row code pickup as a dense one-hot contraction —
+        # take_along_axis over [R, 128] is the slow gather form
+        oh = (idx_ap[..., None]
+              == jnp.arange(L, dtype=jnp.int32)[None, None, :])
+        code_sel = jnp.sum(
+            jnp.where(oh, code_r[:, None, :], 0), axis=-1)
+        sel_ok = z_ap < BIG / 2
+        codes = jnp.where(sel_ok, code_sel, -1).reshape(-1)
+    else:
+        z_sd, code_sd = jax.lax.sort((zkey, code_r), dimension=1,
+                                     num_keys=1)
+        sel_ok = z_sd[:, :cap] < BIG / 2
+        codes = jnp.where(sel_ok, code_sd[:, :cap], -1).reshape(-1)
     clip = jnp.maximum(vis_r.sum(axis=1) - cap, 0).sum()
     return codes, rows["over_blocks"] + jnp.maximum(
         rows["n_rows"] - px.shape[0], 0) * L, clip

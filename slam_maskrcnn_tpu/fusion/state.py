@@ -171,6 +171,27 @@ class FusionConfig:
     # back to per-block DMAs when the padded table exceeds ~12 MB or for
     # the full-image pass B (whose window would blow the vreg budget).
     pallas_frame_vmem: bool = True
+    # Per-ROW dynamic-window lookup tier (frame_vmem only): each of the
+    # 16 sublane rows of a visible block reads its OWN 16-logical-row
+    # banded window at a dynamic 8-aligned offset, so the gather chain
+    # processes 32 banded rows per sublane invocation regardless of the
+    # block's total v-extent (the static tiers pay 64 rows at (32,128)
+    # and 96 at (48,128)). Dispatched when every sublane row's
+    # ok-footprint fits its aligned window AND the lanes fit one 128
+    # chunk; fits are the COMMON case (a sublane row spans half an
+    # x-slab — a few projected pixels). Bit-exact: same ok set, same
+    # values, same update math (tests/test_fuse_pallas.py).
+    pallas_rowdyn: bool = False
+    # Approximate candidate selection at render refreshes: replace the
+    # [max_rows, 128] 2-operand minor-dim z-sort inside
+    # splat.select_candidates with lax.approx_min_k (recall 0.95) + a
+    # dense one-hot code pickup. Per row, up to ~5% of the true
+    # nearest-cap set may swap for slightly farther candidates — the
+    # same z-order-redundant class the row cap already clips; dropped
+    # pixels still z-test exactly at render time. Bounded by the winner
+    # agreement A/B (PERFORMANCE.md r5); off by default (the exact sort
+    # is the reference-faithful selection).
+    splat_select_approx: bool = False
     # Deferred write-backs: the HBM-resident histogram (and, in
     # state_hbm mode, state) write-backs used to start+wait INLINE per
     # block — full DMA latency exposed in the compute path, ~1 us per

@@ -569,6 +569,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  visit_compact: bool = False, cnt_off: int = 0,
                  lanes_off: int = 0, pair: bool = False,
                  orig2_off: int = 0, tab2_off: int = 0,
+                 rowdyn: bool = False,
                  ablate: tuple = ()):
     # ablate (measurement only, cfg.pallas_ablate): named pieces of the
     # visible-block update body replaced by pass-throughs so their cost
@@ -1089,6 +1090,132 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                 bl_min = jnp.min(jnp.where(in_img, bl, big_i))
                 bl_max = jnp.max(jnp.where(in_img, bl, -1))
 
+                def _apply_update(val1, val2):
+                    """The full (non-uniform) update given the looked-up
+                    packed values: TSDF blend, truncating color blend,
+                    row-native histogram vote, commit. Shared by every
+                    lookup tier (including the per-row dynamic-window
+                    tier, which fuses its own bounds scan)."""
+                    hdt = hist_buf.dtype if hist_hbm else hist_ref.dtype
+                    d_raw = jnp.mod(val1, 65536.0)   # uint16 depth, exact
+                    m_id = jnp.floor(val1 / 65536.0)  # mask id
+                    diff_m = d_raw / depth_scale - pz
+                    valid = ok & (d_raw > 0) & (diff_m > -mu)
+                    dn = jnp.minimum(diff_m, mu) / mu
+                    gate = valid & (dn < color_diff_gate)
+                    m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
+
+                    wt = w_in().astype(jnp.float32)
+                    if "blend" in ablate:   # measurement pass-through
+                        new_diff = None
+                    else:
+                        new_diff = jnp.where(
+                            valid, (d_in() * wt + dn) / (wt + 1.0),
+                            d_in())
+
+                    # color: integer truncating blend per byte, exact f32
+                    if "color" in ablate:   # measurement pass-through
+                        new_cpk = None
+                    else:
+                        cpk = c_in()
+                        cb = jnp.mod(cpk, 256.0)
+                        cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
+                        cr = jnp.floor(cpk / 65536.0)
+                        nb_ = jnp.mod(val2, 256.0)
+                        ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
+                        nr = jnp.floor(val2 / 65536.0)
+                        wtp1 = wt + 1.0
+
+                        # floor of an f32 division can land one above
+                        # the true integer quotient when the ratio sits
+                        # just under an integer; correct it so the blend
+                        # matches the reference's integer truncation
+                        # exactly.
+                        def idiv(a, den):
+                            q = jnp.floor(a / den)
+                            return q - (q * den > a).astype(jnp.float32)
+
+                        ub = idiv(cb * wt + nb_, wtp1)
+                        ug = idiv(cg * wt + ng, wtp1)
+                        ur = idiv(cr * wt + nr, wtp1)
+                        new_cpk = jnp.where(
+                            gate, ub + ug * 256.0 + ur * 65536.0, cpk)
+
+                    # histogram in the row-native layout: replicate each
+                    # s-row of (m, gate) to its hist rows on the MXU
+                    # (bf16-exact: values <= K-1 and 0/1, one-term
+                    # sums), then lane-gather the voxel column and
+                    # compare against the k lane pattern. Only blocks
+                    # with at least one gated (near-surface) voxel pay.
+                    any_gate = jnp.any(gate)
+
+                    def _hist_update(h_in):
+                        # ONE packed replication matmul + ONE lane
+                        # gather: val = m + K*gate <= 2K-1 (63) is
+                        # bf16-exact and the rsel matmul sums exactly
+                        # one term, so the pack survives both hops;
+                        # gated lanes decode as val - K == k. The
+                        # take_along over [HR, 128] was the hist
+                        # update's dominant cost (the r4 ablation put
+                        # hist at ~2.7 ms/frame at 512^3) — halving
+                        # the matmul+gather count halves it.
+                        mg = (m_clip
+                              + gate.astype(jnp.int32) * K)
+                        mg2 = jnp.dot(rsel, mg.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32)
+                        mg_exp = jnp.take_along_axis(mg2, lane_src,
+                                                     axis=1)
+                        oh = mg_exp == k_lane + jnp.float32(K)
+                        if hdt == jnp.uint8:
+                            # u8 counts saturate instead of wrapping
+                            # (exact for <= 255 fused frames — the
+                            # reference caps at 100, kernel.cpp:74).
+                            # Mosaic's v5e vector ALU has no i8 add and
+                            # no i16 compare — compute in i32, store u8:
+                            # HBM traffic still halves.
+                            h32 = h_in.astype(jnp.int32)
+                            oh32 = (oh & (h32 < 255)).astype(jnp.int32)
+                            return (h32 + oh32).astype(hdt)
+                        return h_in + oh.astype(hdt)
+
+                    if "hist" in ablate:    # measurement pass-through
+                        if not hist_hbm:
+                            hist_out[g] = hist_ref[g]
+                    elif hist_hbm and pair:
+                        # pair: both frames update the staging slot
+                        # in place; ONE write-back fires after frame
+                        # 2 if either frame dirtied it (_block_body)
+                        @pl.when(any_gate)
+                        def _():
+                            hist_buf[slot, g] = _hist_update(
+                                hist_buf[slot, g])
+                            wfl[4 * NSLOT * group + g] = 1
+                    elif hist_hbm:
+                        @pl.when(any_gate)
+                        def _():
+                            hist_buf[slot, g] = _hist_update(
+                                hist_buf[slot, g])
+                            cp = pltpu.make_async_copy(
+                                hist_buf.at[slot, g],
+                                hist_out.at[hid], hsem.at[slot, g])
+                            cp.start()
+                            if defer_wb:
+                                wfl[(3 * NSLOT + slot) * group + g] = 1
+                            else:
+                                cp.wait()
+                    else:
+                        @pl.when(any_gate)
+                        def _():
+                            hist_out[g] = _hist_update(hist_ref[g])
+
+                        @pl.when(~any_gate)
+                        def _():
+                            hist_out[g] = hist_ref[g]
+
+                    commit(dv=new_diff, cv=new_cpk,
+                           wv=(None if "blend" in ablate
+                               else w_in() + valid.astype(jnp.int32)))
+
                 def _update_body(winv, al_off, bl_off, wrh, wrw):
                     """Uniform classification + the three update bodies over a
                     static (wrh, wrw) window whose rows/lanes sit at offsets
@@ -1189,124 +1316,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                                 rect12[slot, g, :rect_h],
                                 rect12[slot, g, rect_h:],
                                 al, bl, ok, rh_i, rect_h, wrw)
-                        d_raw = jnp.mod(val1, 65536.0)     # uint16 depth, exact
-                        m_id = jnp.floor(val1 / 65536.0)   # mask id
-                        diff_m = d_raw / depth_scale - pz
-                        valid = ok & (d_raw > 0) & (diff_m > -mu)
-                        dn = jnp.minimum(diff_m, mu) / mu
-                        gate = valid & (dn < color_diff_gate)
-                        m_clip = jnp.clip(m_id.astype(jnp.int32), 0, K - 1)
-
-                        wt = w_in().astype(jnp.float32)
-                        if "blend" in ablate:   # measurement pass-through
-                            new_diff = None
-                        else:
-                            new_diff = jnp.where(
-                                valid, (d_in() * wt + dn) / (wt + 1.0),
-                                d_in())
-
-                        # color: integer truncating blend per byte, exact f32
-                        if "color" in ablate:   # measurement pass-through
-                            new_cpk = None
-                        else:
-                            cpk = c_in()
-                            cb = jnp.mod(cpk, 256.0)
-                            cg = jnp.mod(jnp.floor(cpk / 256.0), 256.0)
-                            cr = jnp.floor(cpk / 65536.0)
-                            nb_ = jnp.mod(val2, 256.0)
-                            ng = jnp.mod(jnp.floor(val2 / 256.0), 256.0)
-                            nr = jnp.floor(val2 / 65536.0)
-                            wtp1 = wt + 1.0
-
-                            # floor of an f32 division can land one above the
-                            # true integer quotient when the ratio sits just
-                            # under an integer; correct it so the blend
-                            # matches the reference's integer truncation
-                            # exactly.
-                            def idiv(a, den):
-                                q = jnp.floor(a / den)
-                                return q - (q * den > a).astype(jnp.float32)
-
-                            ub = idiv(cb * wt + nb_, wtp1)
-                            ug = idiv(cg * wt + ng, wtp1)
-                            ur = idiv(cr * wt + nr, wtp1)
-                            new_cpk = jnp.where(
-                                gate, ub + ug * 256.0 + ur * 65536.0, cpk)
-
-                        # histogram in the row-native layout: replicate each
-                        # s-row of (m, gate) to its hist rows on the MXU
-                        # (bf16-exact: values <= K-1 and 0/1, one-term sums),
-                        # then lane-gather the voxel column and compare
-                        # against the k lane pattern. Only blocks with at
-                        # least one gated (near-surface) voxel pay for this.
-                        any_gate = jnp.any(gate)
-
-                        def _hist_update(h_in):
-                            # ONE packed replication matmul + ONE lane
-                            # gather: val = m + K*gate <= 2K-1 (63) is
-                            # bf16-exact and the rsel matmul sums exactly
-                            # one term, so the pack survives both hops;
-                            # gated lanes decode as val - K == k. The
-                            # take_along over [HR, 128] was the hist
-                            # update's dominant cost (the r4 ablation put
-                            # hist at ~2.7 ms/frame at 512^3) — halving
-                            # the matmul+gather count halves it.
-                            mg = (m_clip
-                                  + gate.astype(jnp.int32) * K)
-                            mg2 = jnp.dot(rsel, mg.astype(jnp.bfloat16),
-                                          preferred_element_type=jnp.float32)
-                            mg_exp = jnp.take_along_axis(mg2, lane_src,
-                                                         axis=1)
-                            oh = mg_exp == k_lane + jnp.float32(K)
-                            if hdt == jnp.uint8:
-                                # u8 counts saturate instead of wrapping
-                                # (exact for <= 255 fused frames — the
-                                # reference caps at 100, kernel.cpp:74).
-                                # Mosaic's v5e vector ALU has no i8 add and no
-                                # i16 compare — compute in i32, store u8: HBM
-                                # traffic still halves.
-                                h32 = h_in.astype(jnp.int32)
-                                oh32 = (oh & (h32 < 255)).astype(jnp.int32)
-                                return (h32 + oh32).astype(hdt)
-                            return h_in + oh.astype(hdt)
-
-                        if "hist" in ablate:    # measurement pass-through
-                            if not hist_hbm:
-                                hist_out[g] = hist_ref[g]
-                        elif hist_hbm and pair:
-                            # pair: both frames update the staging slot
-                            # in place; ONE write-back fires after frame
-                            # 2 if either frame dirtied it (_block_body)
-                            @pl.when(any_gate)
-                            def _():
-                                hist_buf[slot, g] = _hist_update(
-                                    hist_buf[slot, g])
-                                wfl[4 * NSLOT * group + g] = 1
-                        elif hist_hbm:
-                            @pl.when(any_gate)
-                            def _():
-                                hist_buf[slot, g] = _hist_update(
-                                    hist_buf[slot, g])
-                                cp = pltpu.make_async_copy(
-                                    hist_buf.at[slot, g],
-                                    hist_out.at[hid], hsem.at[slot, g])
-                                cp.start()
-                                if defer_wb:
-                                    wfl[(3 * NSLOT + slot) * group + g] = 1
-                                else:
-                                    cp.wait()
-                        else:
-                            @pl.when(any_gate)
-                            def _():
-                                hist_out[g] = _hist_update(hist_ref[g])
-
-                            @pl.when(~any_gate)
-                            def _():
-                                hist_out[g] = hist_ref[g]
-
-                        commit(dv=new_diff, cv=new_cpk,
-                               wv=(None if "blend" in ablate
-                                   else w_in() + valid.astype(jnp.int32)))
+                        _apply_update(val1, val2)
 
                 if frame_vmem:
                     # Tight-window specialization: the window read, the
@@ -1344,8 +1354,83 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                         va = jnp.clip(((oa0 + al_min) // 8) * 8,
                                       0, tab_h - RW1)
                         t0 = one_ch & (av_max - va0 < RW0)
-                        t1 = one_ch & ~t0 & (av_max - va < RW1)
-                        t2 = one_ch & ~t0 & ~t1
+
+                        # ---- per-ROW dynamic-window tier (r5, rowdyn):
+                        # the gather chain's cost scales with the STATIC
+                        # window row count x 16 sublane invocations; but
+                        # each sublane row's ok-voxels span only a few
+                        # table rows. Give every s-row its OWN 16-logical-
+                        # row banded window at a dynamic 8-aligned offset
+                        # (Mosaic dynamic vector reads cost the same as
+                        # static — PERFORMANCE.md r4 frame_vmem) so the
+                        # per-row gather processes 32 banded rows
+                        # regardless of the block's total v-extent.
+                        # Dispatched when every s-row's ok-footprint fits
+                        # its aligned window; runs the full update (no
+                        # uniform shortcut — XLA preclass already removed
+                        # most uniform blocks). Bit-exact: same ok set,
+                        # same table values, same update math.
+                        if rowdyn:
+                            RDH = 16
+                            avr = oa0 + al
+                            rd_fit = jnp.bool_(True)
+                            v0s = []
+                            for s in range(TILE_S):
+                                rmin = jnp.min(jnp.where(
+                                    ok[s:s + 1, :], avr[s:s + 1, :],
+                                    big_i))
+                                rmax = jnp.max(jnp.where(
+                                    ok[s:s + 1, :], avr[s:s + 1, :], -1))
+                                v0 = jnp.clip((rmin // 8) * 8, 0,
+                                              tab_h - RDH)
+                                # ok-empty rows pass vacuously (rmax=-1)
+                                rd_fit = rd_fit & (rmax - v0 < RDH)
+                                v0s.append(v0)
+                            rd = one_ch & ~t0 & rd_fit
+
+                            @pl.when(rd)
+                            def _():
+                                H2 = 2 * RDH
+                                vio = jax.lax.broadcasted_iota(
+                                    jnp.int32, (H2, TILE_L), 0)
+                                ub = ob0 + bl
+                                cac = pl.multiple_of(ca, 128)
+                                rows1, rows2 = [], []
+                                for s in range(TILE_S):
+                                    win = rect12[
+                                        pl.ds(pl.multiple_of(
+                                            t_off + 2 * v0s[s], 16), H2),
+                                        pl.ds(cac, TILE_L)]
+                                    vrel = jnp.broadcast_to(
+                                        avr[s:s + 1, :] - v0s[s],
+                                        (H2, TILE_L))
+                                    okr = jnp.broadcast_to(
+                                        ok[s:s + 1, :], (H2, TILE_L))
+                                    vb = vrel + ((vrel >> 3) << 3)
+                                    vmask = (((vio == vb)
+                                              | (vio == vb + 8))
+                                             & okr).astype(jnp.float32)
+                                    idx = jnp.clip(jnp.broadcast_to(
+                                        ub[s:s + 1, :] - ca,
+                                        (H2, TILE_L)), 0, TILE_L - 1)
+                                    g12 = jnp.take_along_axis(win, idx,
+                                                              axis=1)
+                                    prod = (g12 * vmask).reshape(
+                                        2, 16, TILE_L)
+                                    rows1.append(jnp.sum(
+                                        prod[:, :8], axis=(0, 1)
+                                    ).reshape(1, TILE_L))
+                                    rows2.append(jnp.sum(
+                                        prod[:, 8:], axis=(0, 1)
+                                    ).reshape(1, TILE_L))
+                                _apply_update(
+                                    jnp.concatenate(rows1, axis=0),
+                                    jnp.concatenate(rows2, axis=0))
+                        else:
+                            rd = jnp.bool_(False)
+
+                        t1 = one_ch & ~t0 & ~rd & (av_max - va < RW1)
+                        t2 = one_ch & ~t0 & ~rd & ~t1
 
                         @pl.when(t0)
                         def _():
@@ -1748,6 +1833,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                        state_hbm=False, uniform_skip=uniform_skip,
                        ablate=tuple(getattr(cfg, "pallas_ablate", ())),
                        compact=True, ids_off=ids_off,
+                       rowdyn=getattr(cfg, "pallas_rowdyn", False),
                        merge_mid=merge_mid, mid_h=mid_h, mid_w=mid_w)
         sspec = pl.BlockSpec((CG, TILE_S, TILE_L),
                              lambda i, o: (o[ids_off + i], 0, 0),
@@ -1853,6 +1939,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                        frame_vmem=frame_vmem, defer_wb=defer_wb,
                        state_hbm=state_hbm, uniform_skip=uniform_skip,
                        ablate=tuple(getattr(cfg, "pallas_ablate", ())),
+                       rowdyn=getattr(cfg, "pallas_rowdyn", False),
                        merge_mid=merge_mid, mid_h=mid_h, mid_w=mid_w,
                        **vc_kw)
 
@@ -2167,6 +2254,7 @@ def fuse_frames2_blocked_prepped(b: BlockedTSDFState, prep1, prep2,
                    frame_vmem=True, defer_wb=defer_wb,
                    state_hbm=False, uniform_skip=uniform_skip,
                    ablate=tuple(getattr(cfg, "pallas_ablate", ())),
+                   rowdyn=getattr(cfg, "pallas_rowdyn", False),
                    merge_mid=True, mid_h=mid_h, mid_w=mid_w,
                    pair=True, orig2_off=NB, tab2_off=2 * fh)
     sspec = pl.BlockSpec((GD, TILE_S, TILE_L), lambda i, o: (i, 0, 0),

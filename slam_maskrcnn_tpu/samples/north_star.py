@@ -305,8 +305,9 @@ class NorthStar:
                                   cfg.splat_max_blocks, cfg.splat_max_rows,
                                   cfg.splat_shell_band)
             M, m4 = pinhole_of_orbit(angle, dist, self.intrinsic)
-            codes, ovf, _clip = select_candidates(rows, M, m4,
-                                                  cfg.splat_row_cap)
+            codes, ovf, _clip = select_candidates(
+                rows, M, m4, cfg.splat_row_cap,
+                approx=getattr(cfg, "splat_select_approx", False))
             return codes, ovf
 
         self._refresh_cands = _refresh_cands
@@ -338,8 +339,9 @@ class NorthStar:
                                   st.nby, st.nbz, cfg.splat_max_blocks,
                                   cfg.splat_max_rows, cfg.splat_shell_band)
             M, m4 = pinhole_of_orbit(angle, dist, self.intrinsic)
-            codes, ovf, _clip = select_candidates(rows, M, m4,
-                                                  cfg.splat_row_cap)
+            codes, ovf, _clip = select_candidates(
+                rows, M, m4, cfg.splat_row_cap,
+                approx=getattr(cfg, "splat_select_approx", False))
             return codes, ovf
 
         def _scan_fused(state, depths, colors, es, K4, angles, dist,

@@ -573,6 +573,74 @@ def test_tight_tier_fast_path_exercised_and_exact():
     assert frac > 0.2, f"tier-1 fast path barely exercised: {frac:.2%}"
 
 
+def test_rowdyn_tier_matches_default():
+    """pallas_rowdyn=True (per-sublane-row dynamic 16-row windows inside
+    the frame_vmem dispatch) must be bit-identical to the static-tier
+    default AND to the exact XLA oracle — the tier changes which window
+    bytes each gather touches, never the looked-up values. Uses the
+    fine-block fixture (production-like footprints) so the rowdyn
+    dispatch genuinely fires, and runs BOTH the single-frame and the
+    paired kernel forms."""
+    Ht, Wt = 240, 320
+    Kt = make_intrinsic(260.0, 260.0, Wt / 2, Ht / 2)
+    kw = dict(vol_dim=(128, 128, 64), hist_dtype=jnp.uint16,
+              pallas_rect=(48, 256), pallas_rect_mid=(128, 384))
+    cfg_rd = FusionConfig(pallas_rowdyn=True, **kw)
+    cfg_st = FusionConfig(pallas_rowdyn=False, **kw)
+    scene = default_scene()
+    frames = []
+    for E in identity_pose_sequence(3):
+        d, c, m = render_frame(scene, E, Kt, Ht, Wt)
+        frames.append((d, c, m, E))
+    depth0 = frames[0][0]
+    md = float((depth0[depth0 > 0] / 5000.0).mean())
+
+    b_rd = to_blocked(init_from_first_frame(cfg_rd, depth0, Kt, md),
+                      cfg_rd)
+    b_st = to_blocked(init_from_first_frame(cfg_st, depth0, Kt, md),
+                      cfg_st)
+    xla = init_from_first_frame(cfg_rd, depth0, Kt, md)
+    E0inv = np.linalg.inv(frames[0][3])
+    Ktj = jnp.asarray(Kt)
+    for d, c, m, E in frames:
+        e2i = jnp.asarray((E @ E0inv).astype(np.float32))
+        args = (jnp.asarray(d), jnp.asarray(c), jnp.asarray(m), e2i, Ktj)
+        b_rd, mi_r = fuse_frame_blocked(b_rd, *args, cfg_rd)
+        b_st, mi_s = fuse_frame_blocked(b_st, *args, cfg_st)
+        xla = fuse_frame(xla, *args, cfg_rd)
+        assert int(mi_r) == 0 and int(mi_s) == 0
+    for f in ("weight", "hist", "colorpk", "diff"):
+        np.testing.assert_array_equal(np.asarray(getattr(b_rd, f)),
+                                      np.asarray(getattr(b_st, f)))
+    dense = to_dense(b_rd, cfg_rd)
+    np.testing.assert_array_equal(np.asarray(dense.weight),
+                                  np.asarray(xla.weight))
+    np.testing.assert_array_equal(np.asarray(dense.hist).astype(np.uint16),
+                                  np.asarray(xla.hist))
+
+    # paired form with rowdyn vs two sequential single-frame launches
+    from slam_maskrcnn_tpu.ops.pallas.fuse_kernel import (
+        fuse_frames2_blocked_impl)
+
+    d1, c1, m1, E1 = frames[1]
+    d2, c2, m2, E2 = frames[2]
+    e1 = jnp.asarray((E1 @ E0inv).astype(np.float32))
+    e2 = jnp.asarray((E2 @ E0inv).astype(np.float32))
+    b_pair, mi_p = fuse_frames2_blocked_impl(
+        b_rd, jnp.asarray(d1), jnp.asarray(c1), jnp.asarray(m1), e1,
+        jnp.asarray(d2), jnp.asarray(c2), jnp.asarray(m2), e2, Ktj,
+        cfg_rd)
+    b_seq = b_st
+    for d, c, m, e in ((d1, c1, m1, e1), (d2, c2, m2, e2)):
+        b_seq, _mi = fuse_frame_blocked(b_seq, jnp.asarray(d),
+                                        jnp.asarray(c), jnp.asarray(m), e,
+                                        Ktj, cfg_st)
+    assert int(mi_p) == 0
+    for f in ("weight", "hist", "colorpk", "diff"):
+        np.testing.assert_array_equal(np.asarray(getattr(b_pair, f)),
+                                      np.asarray(getattr(b_seq, f)))
+
+
 def test_defer_writeback_off_matches_on():
     """pallas_defer_writeback=False (the old inline start+wait
     write-backs) must match the deferred default bit-for-bit — the
