@@ -92,7 +92,7 @@ def test_fat_fixture_interior_evidence():
     from slam_maskrcnn_tpu.fusion.state import make_intrinsic
 
     Hf, Wf = 240, 320
-    K4 = make_intrinsic(260.0, 260.0, Wf / 2, Hf / 2)
+    K4 = make_intrinsic(310.0, 310.0, Wf / 2, Hf / 2)
     frames = hard_sequence(fat_scene(), K4, Hf, Wf, n_frames=6)
     cfg = FusionConfig(vol_dim=(128, 128, 64), hist_dtype=jnp.uint16)
     fus = SemanticFusion(K4, cfg, backend="pallas", miss_check_every=0)

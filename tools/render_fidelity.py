@@ -197,7 +197,7 @@ def build():
     # per view with exact = 1.0 (asserted in tests/test_render_fidelity)
     out["fat"] = {"volume": 128, "H": 240, "W": 320, "frames": 8,
                   "views": _measure(fat_scene(), (128, 128, 64), 240, 320,
-                                    260.0, 8, (0.05, 0.35, 0.75))}
+                                    310.0, 8, (0.05, 0.35, 0.75))}
     out["fat"]["min_interior_n_instance"] = min(
         v["instance"]["interior"]["n"] for v in out["fat"]["views"])
     out["fat"]["min_interior_exact_instance"] = min(

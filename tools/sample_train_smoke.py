@@ -51,8 +51,16 @@ def make_balloon_tree(root: str, n: int = 4, size: int = 96,
         json.dump(via, f)
 
 
-def make_nucleus_tree(root: str, n: int = 4, size: int = 96,
+def make_nucleus_tree(root: str, n: int = 4, size: int = 128,
                       seed: int = 1):
+    """Synthetic DSB2018-layout crops. Nucleus radii 8-12 px at 128^2 —
+    the DSB size spread's mid-range (stage1 images carry 10-40 px
+    nuclei). The original 7-px-radius fixture put every object at the
+    detector's resolvable edge, where +-2 px of box regression error
+    breaks IoU@0.5 on a 14-px box regardless of training quality (800
+    decayed steps converged to loss 0.68 yet held-out mAP@50 stayed
+    0.28); the gate is meant to smoke the TRAINING PATH, not tiny-object
+    detection limits."""
     import cv2
 
     sdir = os.path.join(root, "stage1_train")
@@ -64,8 +72,9 @@ def make_nucleus_tree(root: str, n: int = 4, size: int = 96,
         img = (rng.random((size, size, 3)) * 60).astype(np.uint8)
         for j in range(3):
             m = np.zeros((size, size), np.uint8)
-            cx, cy = rng.integers(15, size - 15, 2).tolist()
-            cv2.circle(m, (cx, cy), 7, 255, -1)
+            cx, cy = rng.integers(18, size - 18, 2).tolist()
+            r = int(rng.integers(8, 13))
+            cv2.circle(m, (cx, cy), r, 255, -1)
             img[m > 0] = (180, 180, 200)
             cv2.imwrite(os.path.join(sdir, iid, "masks", f"m{j}.png"), m)
         cv2.imwrite(os.path.join(sdir, iid, "images", iid + ".png"), img)
