@@ -95,6 +95,26 @@ def build(vol=(256, 256, 64), n_frames=4, write=True):
     eq = {f: bool(np.array_equal(np.asarray(getattr(st, f)),
                                  np.asarray(getattr(ref, f))))
           for f in ("diff", "colorpk", "weight", "hist")}
+
+    # sharded RENDER vs the 1-device splat render (VERDICT r4 #8: the
+    # viewer read across shards — viewer.cu:137-179 reads the whole
+    # volume per displayed frame). Tie-break differences (two shards'
+    # surfaces at the same pixel) are the only allowed mismatch class.
+    from slam_maskrcnn_tpu.fusion.splat import splat_render_orbit
+    from slam_maskrcnn_tpu.parallel import make_sharded_render
+
+    render_cmp = {}
+    for mode in ("instance", "color"):
+        rfn = make_sharded_render(cfg, mesh,
+                                  max_blocks=ref.diff.shape[0], mode=mode)
+        img_sh = np.asarray(rfn(st, 0.05, md, Kj, H, W))
+        img_1d = np.asarray(splat_render_orbit(ref, 0.05, md, Kj, H, W,
+                                               cfg, mode=mode))
+        mism = float((img_sh != img_1d).any(axis=-1).mean())
+        render_cmp[mode] = {
+            "mismatch_pixel_fraction": round(mism, 6),
+            "covered_fraction": round(
+                float((img_sh.sum(-1) > 0).mean()), 4)}
     out = {
         "vol_dim": list(vol), "n_blocks": int(ref.diff.shape[0]),
         "n_devices": n_dev, "frames": n_frames - 1,
@@ -104,11 +124,14 @@ def build(vol=(256, 256, 64), n_frames=4, write=True):
         "masks_bit_equal": eq_masks,
         "num_objs_equal": int(st.num_objs) == int(ref.num_objs),
         "num_objs": int(ref.num_objs),
+        "render_vs_1dev": render_cmp,
         "weight_sum": int(np.asarray(ref.weight, np.int64).sum()),
         "hist_sum": int(np.asarray(ref.hist, np.int64).sum()),
         "t_single_s": round(t_ref, 1), "t_sharded_s": round(t_sh, 1),
     }
-    ok = all(eq.values()) and all(eq_masks) and out["num_objs_equal"]
+    ok = (all(eq.values()) and all(eq_masks) and out["num_objs_equal"]
+          and all(v["mismatch_pixel_fraction"] <= 0.01
+                  for v in render_cmp.values()))
     out["ok"] = ok
     if write:
         with open(os.path.join(REPO, "SHARDED_GOLDEN.json"), "w") as f:
