@@ -491,6 +491,7 @@ def main():
         # dead padding rows, a different anchor grid. Same trained
         # weights (heads are resolution-independent); quality must stay
         # within a few mAP points of the square mold.
+        from parity_common import TRAINED
         from slam_maskrcnn_tpu.models import MaskRCNN
         from slam_maskrcnn_tpu.samples.train_shapes import (
             InferenceShapesConfig)
