@@ -192,6 +192,15 @@ class FusionConfig:
     # agreement A/B (PERFORMANCE.md r5); off by default (the exact sort
     # is the reference-faithful selection).
     splat_select_approx: bool = False
+    # Hist-update group skip: the in-kernel histogram vote moves
+    # [2048*K/128, 128] of data per gated block (16x the voxel tile)
+    # regardless of how FEW voxels gate; with this on, the rows split
+    # into 4 groups (4 source sublane-rows each) and groups whose
+    # voxels never gate are skipped (scalar any-reduce + pl.when).
+    # Bit-exact: skipped groups' rows receive no votes by definition
+    # (r5e attribution: the hist update is 4.4 ms/frame of the paired
+    # 512^3 step — the largest single visible-work item).
+    pallas_hist_gskip: bool = False
     # Deferred write-backs: the HBM-resident histogram (and, in
     # state_hbm mode, state) write-backs used to start+wait INLINE per
     # block — full DMA latency exposed in the compute path, ~1 us per

@@ -569,7 +569,7 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                  visit_compact: bool = False, cnt_off: int = 0,
                  lanes_off: int = 0, pair: bool = False,
                  orig2_off: int = 0, tab2_off: int = 0,
-                 rowdyn: bool = False,
+                 rowdyn: bool = False, hist_gskip: bool = False,
                  ablate: tuple = ()):
     # ablate (measurement only, cfg.pallas_ablate): named pieces of the
     # visible-block update body replaced by pass-throughs so their cost
@@ -1178,9 +1178,45 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                             return (h32 + oh32).astype(hdt)
                         return h_in + oh.astype(hdt)
 
+                    # group-skip (r5e, cfg.pallas_hist_gskip): the hist
+                    # update's cost is the [HR, 128] data movement — 16x
+                    # the voxel tile regardless of gate sparsity. Split
+                    # the rows into 4 groups of TILE_S/4 source s-rows
+                    # each and skip groups whose voxels never gate (the
+                    # near-surface band usually crosses only part of a
+                    # block). Bit-exact: skipped groups' rows receive no
+                    # votes by definition.
+                    gskip = (hist_gskip and HR % 4 == 0
+                             and TILE_S % 4 == 0)
+                    NRG, NSG = HR // 4, TILE_S // 4
+
+                    def _hist_update_rows(h_in_g, gg):
+                        sl_ = slice(gg * NRG, (gg + 1) * NRG)
+                        mg = (m_clip + gate.astype(jnp.int32) * K)
+                        mg2 = jnp.dot(rsel[sl_],
+                                      mg.astype(jnp.bfloat16),
+                                      preferred_element_type=jnp.float32)
+                        mg_exp = jnp.take_along_axis(mg2, lane_src[sl_],
+                                                     axis=1)
+                        oh = mg_exp == k_lane[sl_] + jnp.float32(K)
+                        if hdt == jnp.uint8:
+                            h32 = h_in_g.astype(jnp.int32)
+                            oh32 = (oh & (h32 < 255)).astype(jnp.int32)
+                            return (h32 + oh32).astype(hdt)
+                        return h_in_g + oh.astype(hdt)
+
                     if "hist" in ablate:    # measurement pass-through
                         if not hist_hbm:
                             hist_out[g] = hist_ref[g]
+                    elif hist_hbm and pair and gskip:
+                        for gg in range(4):
+                            @pl.when(jnp.any(
+                                gate[gg * NSG:(gg + 1) * NSG, :]))
+                            def _(gg=gg):
+                                sl_ = slice(gg * NRG, (gg + 1) * NRG)
+                                hist_buf[slot, g, sl_] = _hist_update_rows(
+                                    hist_buf[slot, g, sl_], gg)
+                                wfl[4 * NSLOT * group + g] = 1
                     elif hist_hbm and pair:
                         # pair: both frames update the staging slot
                         # in place; ONE write-back fires after frame
@@ -1193,8 +1229,20 @@ def _fuse_kernel(origins_ref,  # SMEM scalar prefetch [N*ostride] i32
                     elif hist_hbm:
                         @pl.when(any_gate)
                         def _():
-                            hist_buf[slot, g] = _hist_update(
-                                hist_buf[slot, g])
+                            if gskip:
+                                for gg in range(4):
+                                    @pl.when(jnp.any(
+                                        gate[gg * NSG:(gg + 1) * NSG, :]))
+                                    def _(gg=gg):
+                                        sl_ = slice(gg * NRG,
+                                                    (gg + 1) * NRG)
+                                        hist_buf[slot, g, sl_] = \
+                                            _hist_update_rows(
+                                                hist_buf[slot, g, sl_],
+                                                gg)
+                            else:
+                                hist_buf[slot, g] = _hist_update(
+                                    hist_buf[slot, g])
                             cp = pltpu.make_async_copy(
                                 hist_buf.at[slot, g],
                                 hist_out.at[hid], hsem.at[slot, g])
@@ -1834,6 +1882,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                        ablate=tuple(getattr(cfg, "pallas_ablate", ())),
                        compact=True, ids_off=ids_off,
                        rowdyn=getattr(cfg, "pallas_rowdyn", False),
+                       hist_gskip=getattr(cfg, "pallas_hist_gskip", False),
                        merge_mid=merge_mid, mid_h=mid_h, mid_w=mid_w)
         sspec = pl.BlockSpec((CG, TILE_S, TILE_L),
                              lambda i, o: (o[ids_off + i], 0, 0),
@@ -1940,6 +1989,7 @@ def fuse_frame_blocked_impl(b: BlockedTSDFState, depth: jax.Array,
                        state_hbm=state_hbm, uniform_skip=uniform_skip,
                        ablate=tuple(getattr(cfg, "pallas_ablate", ())),
                        rowdyn=getattr(cfg, "pallas_rowdyn", False),
+                       hist_gskip=getattr(cfg, "pallas_hist_gskip", False),
                        merge_mid=merge_mid, mid_h=mid_h, mid_w=mid_w,
                        **vc_kw)
 
@@ -2255,6 +2305,7 @@ def fuse_frames2_blocked_prepped(b: BlockedTSDFState, prep1, prep2,
                    state_hbm=False, uniform_skip=uniform_skip,
                    ablate=tuple(getattr(cfg, "pallas_ablate", ())),
                    rowdyn=getattr(cfg, "pallas_rowdyn", False),
+                   hist_gskip=getattr(cfg, "pallas_hist_gskip", False),
                    merge_mid=True, mid_h=mid_h, mid_w=mid_w,
                    pair=True, orig2_off=NB, tab2_off=2 * fh)
     sspec = pl.BlockSpec((GD, TILE_S, TILE_L), lambda i, o: (i, 0, 0),
